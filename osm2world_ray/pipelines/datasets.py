@@ -1,0 +1,27 @@
+"""Shared lazy dataset builders used by queries, bench and tests.
+
+All builders return *lazy* ``ray.data.Dataset`` pipelines — nothing
+materializes until the caller consumes. They never call ``ray.init``
+(driver contract).
+"""
+
+from __future__ import annotations
+
+from ..sources.pages import read_pages
+from ..stages.extract import extract_mentions, extract_text
+
+
+def pages_ds(sf_dir: str, *, repeat: int = 1):
+    return read_pages(sf_dir, drop_text=True, repeat=repeat)
+
+
+def mentions_ds(sf_dir: str, *, repeat: int = 1,
+                concurrency: int | tuple[int, int] = (1, 8)):
+    """pages -> extracted mentions (url, mention_idx, lat, lon, kind, lang)."""
+    return extract_mentions(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)
+
+
+def texts_ds(sf_dir: str, *, repeat: int = 1,
+             concurrency: int | tuple[int, int] = (1, 8)):
+    """pages -> re-extracted text (url, text, lang, error)."""
+    return extract_text(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)

@@ -1,0 +1,160 @@
+"""Shared deterministic formulas for the synthetic geo tables.
+
+Every geo input (mention coordinates, landmarks, boundary shapes) is a
+pure integer-hash function of keys in the driver's testdata tables, so
+the DuckDB oracle can recompute it in SQL and the Ray engine in numpy
+with bit-identical float results (verified: ``a*b % 2**32`` is exact in
+int64; ``h / 2**32`` is an exact power-of-two division; the remaining
+``+``/``*`` are single correctly-rounded IEEE ops evaluated in the same
+order on both sides).
+
+Coordinate model (FIXTURES.md §1): 70%% of mentions uniform over a
+10x20-degree region (lat 40-50, lon -10..10), 30%% clustered in a
+~0.12-degree "dense urban cell" around the reference's test anchor
+``LatLon(48.56687, 13.45127)`` / zoom-13 tile (4402, 2828)
+(``TileNumberTest.java:97-99``) — the skew driver for salting tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Knuth/xxhash-style odd multipliers
+M1 = 2654435761
+M2 = 2246822519
+M3 = 3266489917
+M4 = 668265263
+TWO32 = 4294967296
+
+URL_PREFIX = "https://example.org/p/"
+
+# cluster box (inside zoom-13 tiles around (4402, 2828))
+CLUSTER_LAT0 = 48.5
+CLUSTER_LON0 = 13.4
+CLUSTER_SPAN = 0.12
+# uniform background region
+UNI_LAT0 = 40.0
+UNI_LAT_SPAN = 10.0
+UNI_LON0 = -10.0
+UNI_LON_SPAN = 20.0
+
+#: mention footprint half-extent (deg): bbox = lat +- RLAT, lon +- RLON
+RLAT = 0.01
+RLON = 0.02
+
+
+def _h(k: np.ndarray, mult: int) -> np.ndarray:
+    """(k * mult) mod 2**32, exact in int64 for k < ~3.4e9."""
+    return (np.asarray(k, dtype=np.int64) * mult) % TWO32
+
+
+def n_mentions(doc_id: np.ndarray) -> np.ndarray:
+    """1..3 mentions per page."""
+    return (np.asarray(doc_id, dtype=np.int64) % 3) + 1
+
+
+def mention_latlon(doc_id: np.ndarray, j: np.ndarray):
+    """Coordinates of mention j of page doc_id (both int64 arrays)."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    k = doc_id * 3 + np.asarray(j, dtype=np.int64)
+    u1 = _h(k, M1) / TWO32
+    u2 = _h(k, M2) / TWO32
+    cluster = (doc_id % 10) < 3
+    lat = np.where(cluster, CLUSTER_LAT0 + u1 * CLUSTER_SPAN, UNI_LAT0 + u1 * UNI_LAT_SPAN)
+    lon = np.where(cluster, CLUSTER_LON0 + u2 * CLUSTER_SPAN, UNI_LON0 + u2 * UNI_LON_SPAN)
+    return lat, lon
+
+
+def landmark_latlon(partkey: np.ndarray):
+    """Landmark point derived from part.p_partkey (uniform region)."""
+    pk = np.asarray(partkey, dtype=np.int64)
+    u1 = _h(pk, M3) / TWO32
+    u2 = _h(pk, M4) / TWO32
+    lat = UNI_LAT0 + u1 * UNI_LAT_SPAN
+    lon = UNI_LON0 + u2 * UNI_LON_SPAN
+    return lat, lon
+
+
+#: extra fixed landmarks inside the cluster (tie-window / dense-cell
+#: coverage); (landmark_id, lat, lon, kind)
+FIXED_LANDMARKS: list[tuple[int, float, float, int]] = [
+    (10_000_001, 48.552, 13.442, 0),
+    (10_000_002, 48.561, 13.455, 1),
+    (10_000_003, 48.575, 13.489, 2),
+    (10_000_004, 48.598, 13.503, 3),
+]
+
+
+def landmark_kind(partkey: np.ndarray) -> np.ndarray:
+    return np.asarray(partkey, dtype=np.int64) % 4
+
+
+def mention_kind(doc_id: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Predicate key for kind-filtered kNN (compatible-type matching,
+    ``O2WConverterImpl.java:262-272`` analogue)."""
+    return (np.asarray(doc_id, dtype=np.int64) * 3 + np.asarray(j, dtype=np.int64)) % 4
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments (DuckDB oracle side of the same formulas)
+# ---------------------------------------------------------------------------
+
+#: CTE producing one row per mention with exact doc_id/j/lat/lon/url.
+#: Columns: doc_id, mention_idx, url, lat, lon, kind, lang
+MENTIONS_SQL = f"""
+mentions AS (
+  SELECT doc_id,
+         j AS mention_idx,
+         '{URL_PREFIX}' || doc_id AS url,
+         CASE WHEN (doc_id % 10) < 3
+              THEN {CLUSTER_LAT0} + ((((doc_id*3 + j) * {M1}) % {TWO32}) / {TWO32}.0) * {CLUSTER_SPAN}
+              ELSE {UNI_LAT0} + ((((doc_id*3 + j) * {M1}) % {TWO32}) / {TWO32}.0) * {UNI_LAT_SPAN}
+         END AS lat,
+         CASE WHEN (doc_id % 10) < 3
+              THEN {CLUSTER_LON0} + ((((doc_id*3 + j) * {M2}) % {TWO32}) / {TWO32}.0) * {CLUSTER_SPAN}
+              ELSE {UNI_LON0} + ((((doc_id*3 + j) * {M2}) % {TWO32}) / {TWO32}.0) * {UNI_LON_SPAN}
+         END AS lon,
+         (doc_id*3 + j) % 4 AS kind,
+         lang
+  FROM (SELECT doc_id, lang, unnest(range(0, (doc_id % 3) + 1)) AS j FROM documents)
+)
+"""
+
+#: CTE producing the landmark table (part-derived + fixed cluster rows).
+#: Columns: landmark_id, lat, lon, kind
+_fixed_values = ",\n         ".join(
+    f"({lid}, {lat!r}, {lon!r}, {kind})" for lid, lat, lon, kind in FIXED_LANDMARKS
+)
+LANDMARKS_SQL = f"""
+landmarks AS (
+  SELECT p_partkey AS landmark_id,
+         {UNI_LAT0} + (((p_partkey * {M3}) % {TWO32}) / {TWO32}.0) * {UNI_LAT_SPAN} AS lat,
+         {UNI_LON0} + (((p_partkey * {M4}) % {TWO32}) / {TWO32}.0) * {UNI_LON_SPAN} AS lon,
+         p_partkey % 4 AS kind
+  FROM part
+  UNION ALL
+  SELECT * FROM (VALUES {_fixed_values}) AS f(landmark_id, lat, lon, kind)
+)
+"""
+
+#: SQL expression templates for slippy tile assignment at zoom {z}
+#: (floor-identical to the numpy kernels — verified against libm).
+def sql_tx(lon_expr: str, zoom: int) -> str:
+    n = 1 << zoom
+    return f"CAST(floor(({lon_expr} + 180.0) / 360.0 * {n}) AS BIGINT)"
+
+
+def sql_ty(lat_expr: str, zoom: int) -> str:
+    n = 1 << zoom
+    return (
+        f"CAST(floor((1.0 - ln(tan(radians({lat_expr})) + 1.0/cos(radians({lat_expr})))"
+        f"/pi()) / 2.0 * {n}) AS BIGINT)"
+    )
+
+
+def sql_cell_ix(lon_expr: str, r: int) -> str:
+    return f"CAST(floor(({lon_expr} + 180.0) * {1 << r}) AS BIGINT)"
+
+
+def sql_cell_iy(lat_expr: str, r: int) -> str:
+    return f"CAST(floor(({lat_expr} + 90.0) * {1 << r}) AS BIGINT)"
