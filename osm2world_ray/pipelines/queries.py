@@ -268,6 +268,187 @@ def q_tile_rollup(sf_dir: str):
     return out.select_columns(["tx", "ty", "n_mentions", "n_pages"])
 
 
+# ---------------------------------------------------------------------------
+# point-in-polygon join (node-in-area overlaps)
+# ---------------------------------------------------------------------------
+
+def _pip_sql() -> str:
+    from ..sources.boundaries import BOUNDARY_SPECS
+
+    selects = [
+        f"SELECT url, mention_idx, CAST({bid} AS BIGINT) AS boundary_id "
+        f"FROM mentions WHERE {shape.sql('lat', 'lon')}"
+        for bid, _, _, shape in BOUNDARY_SPECS
+    ]
+    return f"WITH {synth.MENTIONS_SQL} " + " UNION ALL ".join(selects)
+
+
+@register("pip_join_contain", _pip_sql())
+def q_pip_join(sf_dir: str):
+    """Mentions x boundary polygons: exact ray-cast containment with
+    holes honored — the node-in-area overlap join
+    (OSMToMapDataConverter.java:720-733). Boundaries are broadcast via
+    ray.put; each actor builds the decoded-WKB GridIndex once."""
+    import ray
+
+    from ..sources.boundaries import boundaries_table
+    from ..stages.pip_join import PIPJoin
+
+    ref = ray.put(boundaries_table())
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"boundaries_ref": ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def _typed_overlap_sql() -> str:
+    from ..sources.boundaries import BOUNDARY_SPECS, Diamond
+
+    parts = []
+    for bid, _, _, shape in BOUNDARY_SPECS:
+        if isinstance(shape, Diamond):
+            bb = (shape.clat - shape.r, shape.clon - shape.r,
+                  shape.clat + shape.r, shape.clon + shape.r)
+        else:
+            bb = (shape.minlat, shape.minlon, shape.maxlat, shape.maxlon)
+        bbox_pred = (
+            f"(lon - {synth.RLON} <= {bb[3]!r} AND lon + {synth.RLON} >= {bb[1]!r} "
+            f"AND lat - {synth.RLAT} <= {bb[2]!r} AND lat + {synth.RLAT} >= {bb[0]!r})"
+        )
+        parts.append(
+            f"SELECT url, mention_idx, CAST({bid} AS BIGINT) AS boundary_id, "
+            f"CASE WHEN {shape.sql('lat', 'lon')} THEN 'CONTAIN' ELSE 'INTERSECT' END "
+            f"AS overlap_type FROM mentions WHERE {bbox_pred}"
+        )
+    return f"WITH {synth.MENTIONS_SQL} " + " UNION ALL ".join(parts)
+
+
+@register("overlap_typed", _typed_overlap_sql())
+def q_overlap_typed(sf_dir: str):
+    """Typed overlap join (CONTAIN / INTERSECT) of mention footprints vs
+    boundaries — the MapOverlapWA type classification
+    (OSMToMapDataConverter.java:515-620) for point footprints."""
+    import ray
+
+    from ..sources.boundaries import boundaries_table
+    from ..stages.pip_join import TypedOverlapJoin
+
+    ref = ray.put(boundaries_table())
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        TypedOverlapJoin,
+        fn_constructor_kwargs={
+            "boundaries_ref": ref,
+            "rlat": synth.RLAT,
+            "rlon": synth.RLON,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN landmark joins
+# ---------------------------------------------------------------------------
+
+_KNN_RANKED = f"""
+WITH {synth.MENTIONS_SQL}, {synth.LANDMARKS_SQL},
+ranked AS (
+  SELECT m.url, m.mention_idx, l.landmark_id,
+         row_number() OVER (
+           PARTITION BY m.url, m.mention_idx
+           ORDER BY (l.lat - m.lat) * (l.lat - m.lat)
+                  + (l.lon - m.lon) * (l.lon - m.lon), l.landmark_id
+         ) AS rank
+  FROM mentions m CROSS JOIN landmarks l {{pred}}
+)
+"""
+
+
+@register(
+    "knn_nearest",
+    _KNN_RANKED.format(pred="")
+    + "SELECT url, mention_idx, landmark_id FROM ranked WHERE rank = 1",
+)
+def q_knn_nearest(sf_dir: str):
+    """Nearest landmark per mention via geocell ring expansion — the
+    attachment nearest-surface join (O2WConverterImpl.java:243-299)
+    expressed as broadcast index + per-batch k-ring probe."""
+    import ray
+
+    from ..sources.landmarks import landmarks_table
+    from ..stages.knn import NearestLandmark
+
+    ref = ray.put(landmarks_table(sf_dir))
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        NearestLandmark,
+        fn_constructor_kwargs={"landmarks_ref": ref},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+@register(
+    "knn_nearest_kind",
+    _KNN_RANKED.format(pred="WHERE l.kind = m.kind")
+    + "SELECT url, mention_idx, landmark_id FROM ranked WHERE rank = 1",
+)
+def q_knn_nearest_kind(sf_dir: str):
+    """Predicate-filtered nearest landmark (compatible-type matching,
+    O2WConverterImpl.java:262-272): candidates restricted to the
+    mention's kind before the distance argmin."""
+    import ray
+
+    from ..sources.landmarks import landmarks_table
+    from ..stages.knn import NearestLandmark
+
+    ref = ray.put(landmarks_table(sf_dir))
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        NearestLandmark,
+        fn_constructor_kwargs={"landmarks_ref": ref, "kind_filter": True},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+@register(
+    "knn_top3",
+    _KNN_RANKED.format(pred="")
+    + "SELECT url, mention_idx, landmark_id, rank FROM ranked WHERE rank <= 3",
+)
+def q_knn_top3(sf_dir: str):
+    """Top-3 nearest landmarks (brute-force vectorized baseline over the
+    broadcast landmark matrix; ties broken by landmark_id)."""
+    import ray
+
+    from ..sources.landmarks import landmarks_table
+    from ..stages.knn import BruteForceTopK
+
+    ref = ray.put(landmarks_table(sf_dir))
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"landmarks_ref": ref, "k": 3},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
