@@ -85,3 +85,79 @@ def k_ring(cell: np.ndarray, k: int):
 def cell_size_deg(r: int) -> float:
     """Edge length of a cell at resolution r, in degrees."""
     return 1.0 / float(1 << r)
+
+
+def line_cells(r: int, x1, y1, x2, y2):
+    """Vectorized segment -> crossed-cells traversal at resolution r.
+
+    Returns ``(row_idx, ix, iy)`` with one output row per (segment,
+    crossed cell), deduplicated. Cost is O(cells crossed) — linear in
+    segment length — unlike a bbox fan-out, which is quadratic in
+    extent (a 10-degree segment's bbox at r=5 covers ~10^5 cells; the
+    line itself crosses ~6*10^2). This is the scale-safe assignment for
+    the segment-intersection self-join: two truly intersecting
+    segments always share the cell containing the intersection point,
+    since that point lies on both of them.
+
+    Method: collect the parametric t of every vertical and horizontal
+    grid-line crossing plus t=0,1, lexsort within row, and sample the
+    cell at each interval midpoint (x=lon, y=lat).
+    """
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    n = len(x1)
+    scale = np.float64(1 << r)
+    fx1 = (x1 + 180.0) * scale
+    fx2 = (x2 + 180.0) * scale
+    fy1 = (y1 + 90.0) * scale
+    fy2 = (y2 + 90.0) * scale
+    ix1 = np.floor(fx1).astype(np.int64)
+    ix2 = np.floor(fx2).astype(np.int64)
+    iy1 = np.floor(fy1).astype(np.int64)
+    iy2 = np.floor(fy2).astype(np.int64)
+
+    def _crossings(f1, f2, i1, i2):
+        lo = np.minimum(i1, i2)
+        hi = np.maximum(i1, i2)
+        cnt = hi - lo  # crossings at integer k in (lo, hi]
+        total = int(cnt.sum())
+        rows = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+        k = (np.repeat(lo, cnt) + 1 + local).astype(np.float64)
+        df = f2[rows] - f1[rows]
+        t = (k - f1[rows]) / df
+        return rows, t
+
+    rx, tx = _crossings(fx1, fx2, ix1, ix2)
+    ry, ty = _crossings(fy1, fy2, iy1, iy2)
+    ends = np.arange(n, dtype=np.int64)
+    rows_all = np.concatenate([ends, ends, rx, ry])
+    ts_all = np.concatenate(
+        [np.zeros(n), np.ones(n), np.clip(tx, 0.0, 1.0), np.clip(ty, 0.0, 1.0)]
+    )
+    order = np.lexsort((ts_all, rows_all))
+    rows_s = rows_all[order]
+    ts_s = ts_all[order]
+    same = rows_s[1:] == rows_s[:-1]
+    tm = (ts_s[1:] + ts_s[:-1]) * 0.5
+    row_idx = rows_s[:-1][same]
+    tm = tm[same]
+    cx = np.floor(fx1[row_idx] + tm * (fx2[row_idx] - fx1[row_idx])).astype(np.int64)
+    cy = np.floor(fy1[row_idx] + tm * (fy2[row_idx] - fy1[row_idx])).astype(np.int64)
+    cx = np.clip(cx, 0, int(360 * scale) - 1)
+    cy = np.clip(cy, 0, int(180 * scale) - 1)
+    # dedup degenerate zero-length intervals at corner crossings: a
+    # straight line never re-enters a cell, so duplicates are always
+    # consecutive within a row
+    if len(row_idx):
+        keep = np.ones(len(row_idx), dtype=bool)
+        keep[1:] = (
+            (row_idx[1:] != row_idx[:-1])
+            | (cx[1:] != cx[:-1])
+            | (cy[1:] != cy[:-1])
+        )
+        row_idx, cx, cy = row_idx[keep], cx[keep], cy[keep]
+    return row_idx, cx, cy

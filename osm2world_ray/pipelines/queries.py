@@ -449,6 +449,161 @@ def q_knn_top3(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# shuffled spatial self-join (calculateIntersectionsInMapData analogue)
+# ---------------------------------------------------------------------------
+
+_FOOTPRINTS_SQL = f"""
+f AS (
+  SELECT doc_id * 4 + mention_idx AS mkey, url, mention_idx,
+         lon - {synth.RLON} AS minx, lon + {synth.RLON} AS maxx,
+         lat - {synth.RLAT} AS miny, lat + {synth.RLAT} AS maxy
+  FROM mentions
+)
+"""
+
+
+@register(
+    "overlap_pairs",
+    f"""
+    WITH {synth.MENTIONS_SQL}, {_FOOTPRINTS_SQL}
+    SELECT a.url AS url_a, a.mention_idx AS mention_idx_a,
+           b.url AS url_b, b.mention_idx AS mention_idx_b
+    FROM f a JOIN f b
+      ON a.mkey < b.mkey
+     AND a.minx <= b.maxx AND a.maxx >= b.minx
+     AND a.miny <= b.maxy AND a.maxy >= b.miny
+    """,
+)
+def q_overlap_pairs(sf_dir: str):
+    """Spatial self-join of mention footprints: cell fan-out ->
+    hash-shuffle by a BOUNDED bucket key (cells hashed into
+    N_PAIR_BUCKETS groups so the per-group Python overhead stays fixed
+    at scale) -> vectorized within-cell pairwise bbox tests ->
+    min-corner dedup (no second shuffle). The flagship all-to-all
+    stage (OSMToMapDataConverter.java:418-439)."""
+    from ..stages import overlaps
+
+    ds = datasets.mentions_ds(sf_dir)
+    ds = ds.map_batches(
+        lambda b: tile_assign.fan_out_cells(b, r=5), batch_format="pyarrow"
+    ).select_columns(["url", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pa.array(overlaps.bucket_of(b["cell"].to_numpy()))
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return (
+        ds.groupby("bucket")
+        .map_groups(overlaps.pairwise_bbox_pairs, batch_format="pandas")
+    )
+
+
+@register(
+    "segment_intersections",
+    f"""
+    WITH {synth.SEGMENTS_SQL},
+    pairs AS (
+      SELECT a.url AS url_a, a.seg_idx AS seg_idx_a,
+             b.url AS url_b, b.seg_idx AS seg_idx_b,
+             (a.x2 - a.x1) AS rx, (a.y2 - a.y1) AS ry,
+             (b.x2 - b.x1) AS sx, (b.y2 - b.y1) AS sy,
+             (b.x1 - a.x1) AS dqx, (b.y1 - a.y1) AS dqy,
+             a.x1 AS p1x, a.y1 AS p1y
+      FROM segs a JOIN segs b
+        ON (a.doc_id * 8 + a.seg_idx) < (b.doc_id * 8 + b.seg_idx)
+       AND least(a.x1, a.x2) <= greatest(b.x1, b.x2)
+       AND greatest(a.x1, a.x2) >= least(b.x1, b.x2)
+       AND least(a.y1, a.y2) <= greatest(b.y1, b.y2)
+       AND greatest(a.y1, a.y2) >= least(b.y1, b.y2)
+    ),
+    tu AS (
+      SELECT *,
+             (dqx * sy - dqy * sx) / (rx * sy - ry * sx) AS t,
+             (dqx * ry - dqy * rx) / (rx * sy - ry * sx) AS u
+      FROM pairs WHERE (rx * sy - ry * sx) <> 0
+    )
+    SELECT url_a, seg_idx_a, url_b, seg_idx_b,
+           CAST(floor((p1x + t * rx) * 1000000 + 0.5) AS BIGINT) AS ix_udeg,
+           CAST(floor((p1y + t * ry) * 1000000 + 0.5) AS BIGINT) AS iy_udeg
+    FROM tu WHERE t > 0 AND t < 1 AND u > 0 AND u < 1
+    """,
+)
+def q_segment_intersections(sf_dir: str):
+    """Segment x segment true intersections (MapIntersectionWW,
+    OSMToMapDataConverter.java:486-509): pages' mention polylines split
+    into way segments, fanned to the cells each segment CROSSES (line
+    traversal — O(length), not O(bbox area)), per-cell exact pairwise
+    intersection, dedup by intersection-point cell ownership. Shared
+    endpoints excluded (GeometryUtil.getTrueLineSegmentIntersection).
+    The shuffle key is a bounded bucket hash of the cell id, keeping
+    the groupby fan-in fixed regardless of how many cells the data
+    covers."""
+    from ..stages import overlaps
+    from ..stages.extract import SegmentExtractor
+
+    ds = datasets.pages_ds(sf_dir).map_batches(
+        SegmentExtractor,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def fan_and_bucket(b: pa.Table) -> pa.Table:
+        b = tile_assign.fan_out_segment_cells(b, r=5)
+        return b.append_column(
+            "bucket", pa.array(overlaps.bucket_of(b["cell"].to_numpy()))
+        )
+
+    ds = ds.map_batches(fan_and_bucket, batch_format="pyarrow").select_columns(
+        ["url", "seg_idx", "x1", "y1", "x2", "y2", "cell", "cell_ix", "cell_iy", "bucket"]
+    )
+    return ds.groupby("bucket").map_groups(
+        overlaps.segment_pairs_intersections, batch_format="pandas"
+    )
+
+
+@register(
+    "clip_to_cell",
+    f"""
+    WITH {synth.MENTIONS_SQL},
+    fan AS (
+      SELECT url, mention_idx, lat, lon, cell_ix,
+             unnest(range(iy0, iy1 + 1)) AS cell_iy
+      FROM (
+        SELECT url, mention_idx, lat, lon,
+               unnest(range({synth.sql_cell_ix(f'lon - {synth.RLON}', 5)},
+                            {synth.sql_cell_ix(f'lon + {synth.RLON}', 5)} + 1)) AS cell_ix,
+               {synth.sql_cell_iy(f'lat - {synth.RLAT}', 5)} AS iy0,
+               {synth.sql_cell_iy(f'lat + {synth.RLAT}', 5)} AS iy1
+        FROM mentions
+      )
+    )
+    SELECT url, mention_idx, cell_ix, cell_iy,
+      CAST(floor(greatest(lon - {synth.RLON}, cell_ix / 32.0 - 180.0) * 1000000 + 0.5) AS BIGINT) AS minlon_udeg,
+      CAST(floor(greatest(lat - {synth.RLAT}, cell_iy / 32.0 - 90.0) * 1000000 + 0.5) AS BIGINT) AS minlat_udeg,
+      CAST(floor(least(lon + {synth.RLON}, (cell_ix + 1) / 32.0 - 180.0) * 1000000 + 0.5) AS BIGINT) AS maxlon_udeg,
+      CAST(floor(least(lat + {synth.RLAT}, (cell_iy + 1) / 32.0 - 90.0) * 1000000 + 0.5) AS BIGINT) AS maxlat_udeg
+    FROM fan
+    """,
+)
+def q_clip_to_cell(sf_dir: str):
+    """Straddle fan-out + exact clip to each owning cell rectangle —
+    the ClipToBounds tile-border semantics (MeshStore.java:577-768;
+    applied per tile partition, FrontendPbfOutput.java:716-725).
+    Corners emitted as exact micro-degree ints."""
+    from ..stages.clip_stage import clip_footprints_to_cells
+
+    ds = datasets.mentions_ds(sf_dir)
+    ds = ds.map_batches(
+        lambda b: tile_assign.fan_out_cells(b, r=5), batch_format="pyarrow"
+    )
+    return ds.map_batches(clip_footprints_to_cells, batch_format="pyarrow")
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -137,6 +137,46 @@ landmarks AS (
 )
 """
 
+def sql_mention_lat(k_expr: str) -> str:
+    """Mention latitude as SQL, for mention hash key expression k
+    (= doc_id*3 + j). Expects a ``doc_id`` column in scope."""
+    return (
+        f"CASE WHEN (doc_id % 10) < 3 "
+        f"THEN {CLUSTER_LAT0} + (((({k_expr}) * {M1}) % {TWO32}) / {TWO32}.0) * {CLUSTER_SPAN} "
+        f"ELSE {UNI_LAT0} + (((({k_expr}) * {M1}) % {TWO32}) / {TWO32}.0) * {UNI_LAT_SPAN} END"
+    )
+
+
+def sql_mention_lon(k_expr: str) -> str:
+    return (
+        f"CASE WHEN (doc_id % 10) < 3 "
+        f"THEN {CLUSTER_LON0} + (((({k_expr}) * {M2}) % {TWO32}) / {TWO32}.0) * {CLUSTER_SPAN} "
+        f"ELSE {UNI_LON0} + (((({k_expr}) * {M2}) % {TWO32}) / {TWO32}.0) * {UNI_LON_SPAN} END"
+    )
+
+
+#: CTE producing one row per consecutive-mention segment with direct
+#: endpoint formulas. No self-join and no unnest (DuckDB 1.0 hits an
+#: internal "flat vector" error when an unnest CTE feeds an inequality
+#: join); since n_segments = doc_id %% 3 is 0..2, j is expanded by
+#: UNION ALL. Columns: doc_id, url, seg_idx, x1, y1, x2, y2 (x=lon).
+def _seg_select(j: int) -> str:
+    return f"""
+  SELECT doc_id,
+         '{URL_PREFIX}' || doc_id AS url,
+         CAST({j} AS BIGINT) AS seg_idx,
+         {sql_mention_lon(f'doc_id*3 + {j}')} AS x1,
+         {sql_mention_lat(f'doc_id*3 + {j}')} AS y1,
+         {sql_mention_lon(f'doc_id*3 + {j} + 1')} AS x2,
+         {sql_mention_lat(f'doc_id*3 + {j} + 1')} AS y2
+  FROM documents WHERE (doc_id % 3) >= {j + 1}"""
+
+
+SEGMENTS_SQL = f"""
+segs AS MATERIALIZED ({_seg_select(0)} UNION ALL {_seg_select(1)})
+"""
+
+
 #: SQL expression templates for slippy tile assignment at zoom {z}
 #: (floor-identical to the numpy kernels — verified against libm).
 def sql_tx(lon_expr: str, zoom: int) -> str:

@@ -96,6 +96,48 @@ class MentionExtractor:
         )
 
 
+class SegmentExtractor:
+    """pages -> one row per consecutive-mention segment:
+    (url, seg_idx, x1, y1, x2, y2) with x=lon, y=lat.
+
+    The way-segment analogue (``MapData.java:47``: ways eagerly split
+    into 2-node ``MapWaySegment`` edges): a page's ordered mentions form
+    a polyline; segment j connects mention j to j+1. All mentions of a
+    page live in one HTML row, so this needs no shuffle.
+    """
+
+    def __init__(self):
+        self.span = _GEO_SPAN
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        urls = batch["url"].to_pylist()
+        out_url, out_idx = [], []
+        out_x1, out_y1, out_x2, out_y2 = [], [], [], []
+        for u, h in zip(urls, htmls):
+            pts = [
+                (float(m.group(3)), float(m.group(2)))
+                for m in self.span.finditer(h)
+            ]
+            for j in range(len(pts) - 1):
+                out_url.append(u)
+                out_idx.append(j)
+                out_x1.append(pts[j][0])
+                out_y1.append(pts[j][1])
+                out_x2.append(pts[j + 1][0])
+                out_y2.append(pts[j + 1][1])
+        return pa.table(
+            {
+                "url": pa.array(out_url, type=pa.string()),
+                "seg_idx": pa.array(out_idx, type=pa.int64()),
+                "x1": pa.array(np.asarray(out_x1, dtype=np.float64)),
+                "y1": pa.array(np.asarray(out_y1, dtype=np.float64)),
+                "x2": pa.array(np.asarray(out_x2, dtype=np.float64)),
+                "y2": pa.array(np.asarray(out_y2, dtype=np.float64)),
+            }
+        )
+
+
 def extract_mentions(pages_ds, *, concurrency: int | tuple[int, int] = (1, 4),
                      batch_size: int = 1024):
     """pages Dataset -> mentions Dataset via the actor pool."""

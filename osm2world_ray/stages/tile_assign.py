@@ -81,6 +81,56 @@ def fan_out_footprints(batch: pa.Table, *, zoom: int = 13,
     )
 
 
+def fan_out_bbox_cells(batch: pa.Table, *, r: int = 5,
+                       minx_col: str, miny_col: str,
+                       maxx_col: str, maxy_col: str) -> pa.Table:
+    """Generic bbox -> covered-geocell fan-out (x=lon, y=lat columns)."""
+    minx = batch[minx_col].to_numpy(zero_copy_only=False)
+    miny = batch[miny_col].to_numpy(zero_copy_only=False)
+    maxx = batch[maxx_col].to_numpy(zero_copy_only=False)
+    maxy = batch[maxy_col].to_numpy(zero_copy_only=False)
+    scale = np.float64(1 << r)
+    ix0 = np.floor((minx + 180.0) * scale).astype(np.int64)
+    ix1 = np.floor((maxx + 180.0) * scale).astype(np.int64)
+    iy0 = np.floor((miny + 90.0) * scale).astype(np.int64)
+    iy1 = np.floor((maxy + 90.0) * scale).astype(np.int64)
+    row_idx, ix, iy = tiles.fan_out_tile_range(ix0, iy0, ix1, iy1)
+    out = batch.take(pa.array(row_idx))
+    cell = (np.int64(r) << 58) | (ix << 29) | iy
+    return (
+        out.append_column("cell", pa.array(cell))
+        .append_column("cell_ix", pa.array(ix))
+        .append_column("cell_iy", pa.array(iy))
+    )
+
+
+def fan_out_segment_cells(batch: pa.Table, *, r: int = 5,
+                          x1_col: str = "x1", y1_col: str = "y1",
+                          x2_col: str = "x2", y2_col: str = "y2") -> pa.Table:
+    """Segment -> crossed-cells fan-out via line traversal (x=lon, y=lat).
+
+    O(cells crossed) per segment, unlike a bbox fan-out which is
+    quadratic in segment extent — the scale-safe assignment for the
+    segment-intersection self-join (see ``geo.cells.line_cells``).
+    """
+    from ..geo import cells as cells_mod
+
+    row_idx, ix, iy = cells_mod.line_cells(
+        r,
+        batch[x1_col].to_numpy(zero_copy_only=False),
+        batch[y1_col].to_numpy(zero_copy_only=False),
+        batch[x2_col].to_numpy(zero_copy_only=False),
+        batch[y2_col].to_numpy(zero_copy_only=False),
+    )
+    out = batch.take(pa.array(row_idx))
+    cell = (np.int64(r) << 58) | (ix << 29) | iy
+    return (
+        out.append_column("cell", pa.array(cell))
+        .append_column("cell_ix", pa.array(ix))
+        .append_column("cell_iy", pa.array(iy))
+    )
+
+
 def fan_out_cells(batch: pa.Table, *, r: int = 5,
                   rlat: float = synth.RLAT, rlon: float = synth.RLON,
                   lat_col: str = "lat", lon_col: str = "lon") -> pa.Table:
