@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": N}
+
+Modes:
+  python bench.py                 # full suite at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling       # flagship at 8 and 32 cpus in fresh
+                                  # processes; reports scaling efficiency
+  python bench.py --single flagship --cpus 8   # internal (scaling child)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: representative per-stage pipelines timed in the full suite
+BENCH_QUERIES = [
+    "extract_text",          # actor-pool HTML extraction
+    "tile_rollup_z13",       # tile-keyed groupby-aggregate rollup
+    "pip_join_contain",      # broadcast STRtree point-in-polygon join
+    "knn_nearest",           # k-ring kNN landmark join
+    "overlap_pairs",         # bucketed pairwise footprint self-join
+    "segment_intersections", # segment x segment intersection self-join
+    "clip_to_cell",          # straddle fan-out + exact clip
+]
+
+
+def _consume(res) -> int:
+    """Execute a query result without pulling rows to the driver."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from osm2world_ray.pipelines.flagship import flagship_pipeline
+    from osm2world_ray.pipelines.queries import all_queries
+
+    qs = all_queries()
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    _consume(flagship_pipeline(sf_dir))
+    timings["flagship"] = round(time.perf_counter() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs = _doc_count(sf_dir)
+    n_queries = len(timings)
+    out = {
+        "metric": "spatial-join + tile-assignment pipeline suite wall-time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs": docs,
+        "docs_per_sec": round(docs * n_queries / total, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_single(sf_dir: str, num_cpus: int) -> dict:
+    """One flagship run in this process (scaling child)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from osm2world_ray.pipelines.flagship import flagship_pipeline
+
+    # warm-up pass so actor/worker startup is excluded from the measured run
+    _consume(flagship_pipeline(sf_dir, repeat=1))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "512"))
+    t0 = time.perf_counter()
+    _consume(flagship_pipeline(sf_dir, repeat=reps))
+    dt = time.perf_counter() - t0
+    docs = _doc_count(sf_dir) * reps
+    ray.shutdown()
+    return {"seconds": round(dt, 3), "docs": docs,
+            "docs_per_sec": round(docs / dt, 1), "num_cpus": num_cpus}
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same flagship job at two parallelism levels in FRESH processes
+    (the sandbox stand-in for N vs 4N nodes; see BASELINE.md)."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp8 = results[8]["docs_per_sec"]
+    tp32 = results[32]["docs_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    return {
+        "metric": "flagship scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "flagship_p8_sec": results[8]["seconds"],
+            "flagship_p32_sec": results[32]["seconds"],
+        },
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "docs_per_sec_p8": tp8,
+        "docs_per_sec_p32": tp32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if "--single" in args:
+        cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else NUM_CPUS
+        print(json.dumps(run_single(SF_DIR, cpus)))
+    elif "--scaling" in args:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_suite(SF_DIR, NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,12 +16,12 @@ def pages_ds(sf_dir: str, *, repeat: int = 1):
 
 
 def mentions_ds(sf_dir: str, *, repeat: int = 1,
-                concurrency: int | tuple[int, int] = (1, 8)):
+                concurrency: int | tuple[int, int] = (1, 32)):
     """pages -> extracted mentions (url, mention_idx, lat, lon, kind, lang)."""
     return extract_mentions(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)
 
 
 def texts_ds(sf_dir: str, *, repeat: int = 1,
-             concurrency: int | tuple[int, int] = (1, 8)):
+             concurrency: int | tuple[int, int] = (1, 32)):
     """pages -> re-extracted text (url, text, lang, error)."""
     return extract_text(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)

@@ -13,16 +13,23 @@ from . import datasets
 from ..stages import tile_assign
 
 
-def flagship_pipeline(sf_dir: str, *, repeat: int = 1, zoom: int = 13):
-    """pages -> mentions -> z13 tiles -> per-tile rollup Dataset."""
-    from ray.data.aggregate import Count, Sum
+def flagship_pipeline(sf_dir: str, *, repeat: int = 1, zoom: int = 13,
+                      rollup: str = "tree"):
+    """pages -> mentions -> z13 tiles -> per-tile rollup.
+
+    ``rollup="tree"`` (default): shuffle-free tree aggregation
+    (tile key cardinality is bounded at a fixed zoom).
+    ``rollup="shuffle"``: partial-aggregate + bounded-bucket shuffle,
+    the path for unbounded key spaces. Both in stages/rollup.py;
+    both return a lazy Dataset.
+    """
+    from ..stages.rollup import tile_rollup, tile_rollup_tree
 
     ds = datasets.mentions_ds(sf_dir, repeat=repeat)
     ds = ds.map_batches(
         lambda b: tile_assign.assign_tiles(b, zoom=zoom), batch_format="pyarrow"
     )
     ds = ds.select_columns(["tx", "ty", "url"])
-    per_url = ds.groupby(["tx", "ty", "url"]).aggregate(Count(alias_name="n"))
-    return per_url.groupby(["tx", "ty"]).aggregate(
-        Sum("n", alias_name="n_mentions"), Count(alias_name="n_pages")
-    )
+    if rollup == "tree":
+        return tile_rollup_tree(ds)
+    return tile_rollup(ds)

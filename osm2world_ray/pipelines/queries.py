@@ -251,21 +251,17 @@ def q_straddle_fanout(sf_dir: str):
 )
 def q_tile_rollup(sf_dir: str):
     """Per-tile mention/page counts — the StatisticsOutput per-tile
-    rollup (StatisticsOutput.java:22-217) as groupby-aggregate.
+    rollup (StatisticsOutput.java:22-217).
 
-    Pattern: vectorized per-batch partial dedup is skipped (urls repeat
-    at most 3x); distinct-url is a two-level groupby so the shuffle
-    carries only (tile, url) pairs, not payloads."""
-    from ray.data.aggregate import Count, Sum
+    Pattern: partial aggregate inside map_batches (pyarrow C++
+    group_by combiner), ONE bounded-bucket shuffle, vectorized
+    within-bucket rollup — shuffle volume is near-aggregated rows,
+    groupby fan-in is O(buckets) not O(tiles)."""
+    from ..stages.rollup import tile_rollup
 
     ds = datasets.mentions_ds(sf_dir)
     ds = ds.map_batches(lambda b: tile_assign.assign_tiles(b, zoom=13), batch_format="pyarrow")
-    ds = ds.select_columns(["tx", "ty", "url"])
-    per_url = ds.groupby(["tx", "ty", "url"]).aggregate(Count(alias_name="n"))
-    out = per_url.groupby(["tx", "ty"]).aggregate(
-        Sum("n", alias_name="n_mentions"), Count(alias_name="n_pages")
-    )
-    return out.select_columns(["tx", "ty", "n_mentions", "n_pages"])
+    return tile_rollup(ds.select_columns(["tx", "ty", "url"]))
 
 
 # ---------------------------------------------------------------------------
@@ -547,8 +543,8 @@ def q_segment_intersections(sf_dir: str):
     ds = datasets.pages_ds(sf_dir).map_batches(
         SegmentExtractor,
         batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 4),
+        batch_size=None,
+        concurrency=(1, 32),
         num_cpus=1,
     )
 

@@ -71,7 +71,8 @@ def synth_pages(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, *, drop_text: bool = True, repeat: int = 1):
+def read_pages(sf_dir: str, *, drop_text: bool = True, repeat: int = 1,
+               num_blocks: int = 32):
     """``documents.parquet`` -> lazy pages Dataset.
 
     ``drop_text`` removes the ground-truth ``text`` column so pipelines
@@ -79,23 +80,53 @@ def read_pages(sf_dir: str, *, drop_text: bool = True, repeat: int = 1):
     ``repeat`` replicates each document with distinct synthetic doc_ids
     (``doc_id + r * 10**7``) — used only by the benchmark to scale input
     volume deterministically.
+
+    ``num_blocks``: the sandbox input is ONE small parquet file, which
+    reads as a single block — every downstream ``map_batches`` would
+    then run serially no matter how many CPUs the cluster has. A cheap
+    ``repartition`` right after the (tiny) read restores block
+    parallelism. At real scale the input is thousands of files and
+    this is unnecessary (pass ``None``); the equivalent knob there is
+    file/row-group splitting at the read.
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    path = f"{sf_dir}/documents.parquet"
     if repeat > 1:
-        def _replicate(batch: pa.Table, reps: int = repeat) -> pa.Table:
-            tables = []
-            for r in range(reps):
-                t = batch.set_column(
-                    batch.schema.get_field_index("doc_id"),
-                    "doc_id",
-                    pa.compute.add(batch["doc_id"], r * 10_000_000),
-                )
-                tables.append(t)
-            return pa.concat_tables(tables)
+        # Replicate as INDEPENDENT read tasks (one per replica) instead
+        # of replicating inside batches + repartitioning: no all-to-all
+        # barrier, and task parallelism scales with the replicated
+        # volume. This mirrors the real-scale shape where the input is
+        # thousands of files, each its own read task.
+        def _read_replica(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
 
-        ds = ds.map_batches(_replicate, batch_format="pyarrow")
+            out = []
+            for r in batch["id"].to_pylist():
+                t = pq.read_table(path, columns=["doc_id", "text", "lang"])
+                out.append(
+                    t.set_column(
+                        t.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        pa.compute.add(t["doc_id"], r * 10_000_000),
+                    )
+                )
+            return pa.concat_tables(out)
+
+        # bundle replicas into ~num_blocks read tasks: task count (and
+        # thus driver scheduling load) stays fixed as repeat grows;
+        # per-task work grows instead. Over-partitioning into hundreds
+        # of ~100ms tasks makes the single-threaded scheduler the
+        # bottleneck long before the CPUs saturate.
+        ds = rd.range(
+            repeat, override_num_blocks=min(repeat, max(num_blocks, 64))
+        ).map_batches(_read_replica, batch_format="pyarrow")
+    else:
+        ds = rd.read_parquet(path, columns=["doc_id", "text", "lang"])
+        if num_blocks:
+            # the sandbox input is one small file = one block; a cheap
+            # repartition restores block parallelism downstream
+            ds = ds.repartition(num_blocks)
     ds = ds.map_batches(synth_pages, batch_format="pyarrow")
     if drop_text:
         ds = ds.select_columns(["url", "warc_ts", "html", "lang"])

@@ -138,8 +138,8 @@ class SegmentExtractor:
         )
 
 
-def extract_mentions(pages_ds, *, concurrency: int | tuple[int, int] = (1, 4),
-                     batch_size: int = 1024):
+def extract_mentions(pages_ds, *, concurrency: int | tuple[int, int] = (1, 32),
+                     batch_size: int | None = None):
     """pages Dataset -> mentions Dataset via the actor pool."""
     return pages_ds.map_batches(
         MentionExtractor,
@@ -150,8 +150,8 @@ def extract_mentions(pages_ds, *, concurrency: int | tuple[int, int] = (1, 4),
     )
 
 
-def extract_text(pages_ds, *, concurrency: int | tuple[int, int] = (1, 4),
-                 batch_size: int = 1024):
+def extract_text(pages_ds, *, concurrency: int | tuple[int, int] = (1, 32),
+                 batch_size: int | None = None):
     """pages Dataset -> (url, text, lang, error) Dataset."""
     return pages_ds.map_batches(
         TextExtractor,

@@ -1,0 +1,244 @@
+"""Per-tile rollup: the ``StatisticsOutput`` analogue, shuffle-minimized.
+
+Reference semantics (``StatisticsOutput.java:22-217``): counts per
+key x {global, material, class}. Here: per-tile mention and distinct
+page counts.
+
+A naive expression is two chained ``groupby().aggregate()`` calls
+(tile+url, then tile) — two full sort shuffles, and the second one
+carries one row per (tile, url). Instead:
+
+1. **partial aggregate inside map_batches** (combiner): each batch is
+   collapsed to (tx, ty, url, n) via pyarrow's C++ ``Table.group_by``
+   — the shuffle then moves near-aggregated rows, not raw mentions;
+2. **one bounded-bucket shuffle** keyed on a hash of the tile id
+   (``groupby("bucket")``), so group count is fixed regardless of how
+   many tiles exist;
+3. **vectorized within-bucket rollup**: pandas hash groupby combines
+   partials (correct even when one url's mentions were split across
+   batches) and computes distinct-page counts.
+
+This is the partial/combiner discipline every 100 TB aggregation here
+follows: shuffle volume is O(distinct keys per batch), and the
+groupby fan-in is O(buckets), never O(tiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .overlaps import bucket_of
+from ..geo import tiles
+
+N_ROLLUP_BUCKETS = 64
+
+
+def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
+    """(tx, ty, url, ...) batch -> partial (tx, ty, url, n, bucket)."""
+    part = batch.select(["tx", "ty", "url"]).group_by(
+        ["tx", "ty", "url"]
+    ).aggregate([([], "count_all")])
+    part = part.rename_columns(["tx", "ty", "url", "n"])
+    key = tiles.pack_key(
+        13, part["tx"].to_numpy(), part["ty"].to_numpy()
+    )
+    return part.append_column(
+        "bucket", pa.array(bucket_of(key, N_ROLLUP_BUCKETS))
+    )
+
+
+def tile_rollup_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of partial rows -> (tx, ty, n_mentions, n_pages)."""
+    per_url = group.groupby(["tx", "ty", "url"], as_index=False, sort=False)[
+        "n"
+    ].sum()
+    out = per_url.groupby(["tx", "ty"], as_index=False, sort=False).agg(
+        n_mentions=("n", "sum"), n_pages=("url", "size")
+    )
+    return pd.DataFrame(
+        {
+            "tx": out["tx"].to_numpy(dtype=np.int64),
+            "ty": out["ty"].to_numpy(dtype=np.int64),
+            "n_mentions": out["n_mentions"].to_numpy(dtype=np.int64),
+            "n_pages": out["n_pages"].to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def tile_rollup(assigned_ds):
+    """Dataset with (tx, ty, url) -> per-tile rollup Dataset."""
+    ds = assigned_ds.map_batches(partial_tile_url_counts, batch_format="pyarrow")
+    return (
+        ds.groupby("bucket")
+        .map_groups(tile_rollup_group, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-free tree rollup
+# ---------------------------------------------------------------------------
+# When the key cardinality is bounded (tiles at a fixed zoom: <= 4^13
+# globally, ~10^5 here), a keyed sort-shuffle is overkill: the rollup
+# is algebraic, so per-batch partials can be tree-merged like any
+# global aggregate — Ray Data's ``Dataset.aggregate`` path, zero
+# all-to-all. Distinct-page counting survives batch splits via
+# boundary-url handling: a url whose rows straddle a block boundary
+# sits at the first/last row of its batches (mention rows are emitted
+# contiguously per page), so batches aggregate interior urls fully and
+# keep (tile, boundary-url) rows un-aggregated; merges dedup those by
+# key, and finalize counts each surviving row as one page.
+# The sort-shuffle variant above remains the path for unbounded key
+# spaces (e.g. per-url rollups at 10^12 docs).
+
+_ROLLUP_SCHEMA = pa.schema(
+    [
+        ("tx", pa.int64()),
+        ("ty", pa.int64()),
+        ("url", pa.string()),
+        ("n_mentions", pa.int64()),
+        ("n_pages", pa.int64()),
+    ]
+)
+
+def partial_tile_rollup(batch: pa.Table) -> pa.Table:
+    """(tx, ty, url) batch -> mixed partial: fully-aggregated tile rows
+    (url null) for interior urls + per-(tile, url) rows for the batch's
+    first/last url."""
+    import pyarrow.compute as pc
+
+    if len(batch) == 0:
+        return _ROLLUP_SCHEMA.empty_table()
+    urls = batch["url"]
+    first = urls[0].as_py()
+    last = urls[len(urls) - 1].as_py()
+    is_bnd = pc.or_(pc.equal(urls, first), pc.equal(urls, last))
+    interior = batch.filter(pc.invert(is_bnd))
+    boundary = batch.filter(is_bnd)
+
+    parts = []
+    if len(interior):
+        per_url = interior.select(["tx", "ty", "url"]).group_by(
+            ["tx", "ty", "url"]
+        ).aggregate([([], "count_all")])
+        tiles_t = per_url.group_by(["tx", "ty"]).aggregate(
+            [("count_all", "sum"), ([], "count_all")]
+        )
+        # columns: tx, ty, count_all_sum (mentions), count_all (pages)
+        parts.append(
+            pa.table(
+                {
+                    "tx": tiles_t["tx"],
+                    "ty": tiles_t["ty"],
+                    "url": pa.nulls(len(tiles_t), pa.string()),
+                    "n_mentions": tiles_t["count_all_sum"].cast(pa.int64()),
+                    "n_pages": tiles_t["count_all"].cast(pa.int64()),
+                }
+            )
+        )
+    if len(boundary):
+        bnd = boundary.select(["tx", "ty", "url"]).group_by(
+            ["tx", "ty", "url"]
+        ).aggregate([([], "count_all")])
+        parts.append(
+            pa.table(
+                {
+                    "tx": bnd["tx"],
+                    "ty": bnd["ty"],
+                    "url": bnd["url"],
+                    "n_mentions": bnd["count_all"].cast(pa.int64()),
+                    "n_pages": pa.array(np.zeros(len(bnd), dtype=np.int64)),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _compact(t: pa.Table) -> pa.Table:
+    """Merge-combine a mixed partial table (associative)."""
+    import pyarrow.compute as pc
+
+    null_url = pc.is_null(t["url"])
+    tiles_t = t.filter(null_url)
+    bnd = t.filter(pc.invert(null_url))
+    parts = []
+    if len(tiles_t):
+        g = tiles_t.group_by(["tx", "ty"]).aggregate(
+            [("n_mentions", "sum"), ("n_pages", "sum")]
+        )
+        parts.append(
+            pa.table(
+                {
+                    "tx": g["tx"],
+                    "ty": g["ty"],
+                    "url": pa.nulls(len(g), pa.string()),
+                    "n_mentions": g["n_mentions_sum"],
+                    "n_pages": g["n_pages_sum"],
+                }
+            )
+        )
+    if len(bnd):
+        g = bnd.group_by(["tx", "ty", "url"]).aggregate([("n_mentions", "sum")])
+        parts.append(
+            pa.table(
+                {
+                    "tx": g["tx"],
+                    "ty": g["ty"],
+                    "url": g["url"],
+                    "n_mentions": g["n_mentions_sum"],
+                    "n_pages": pa.array(np.zeros(len(g), dtype=np.int64)),
+                }
+            )
+        )
+    if not parts:
+        return _ROLLUP_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def _finalize_rollup(acc: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    acc = _compact(acc)
+    # each surviving (tile, boundary-url) row is one page
+    null_url = pc.is_null(acc["url"])
+    pages = pc.if_else(null_url, acc["n_pages"], pa.scalar(1, pa.int64()))
+    t = pa.table(
+        {
+            "tx": acc["tx"],
+            "ty": acc["ty"],
+            "n_mentions": acc["n_mentions"],
+            "n_pages": pages,
+        }
+    )
+    g = t.group_by(["tx", "ty"]).aggregate(
+        [("n_mentions", "sum"), ("n_pages", "sum")]
+    )
+    return pa.table(
+        {
+            "tx": g["tx"].cast(pa.int64()),
+            "ty": g["ty"].cast(pa.int64()),
+            "n_mentions": g["n_mentions_sum"].cast(pa.int64()),
+            "n_pages": g["n_pages_sum"].cast(pa.int64()),
+        }
+    )
+
+
+def tile_rollup_tree(assigned_ds, *, fanin: int = 8):
+    """Dataset with (tx, ty, url) -> per-tile rollup Dataset via
+    shuffle-free tree aggregation.
+
+    Tree shape: per-batch partials (map, embarrassingly parallel) ->
+    coalesce to ``fanin`` partitions and compact each -> coalesce to 1
+    and finalize. The repartitions move only near-aggregated tables
+    (O(tiles) rows, no url strings for interior pages), so both
+    barriers are trivial; at cluster scale set ``fanin`` ~ number of
+    nodes.
+    """
+    ds = assigned_ds.map_batches(partial_tile_rollup, batch_format="pyarrow")
+    ds = ds.repartition(fanin).map_batches(
+        _compact, batch_format="pyarrow", batch_size=None
+    )
+    return ds.repartition(1).map_batches(
+        _finalize_rollup, batch_format="pyarrow", batch_size=None
+    )
