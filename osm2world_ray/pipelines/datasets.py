@@ -25,3 +25,20 @@ def texts_ds(sf_dir: str, *, repeat: int = 1,
              concurrency: int | tuple[int, int] = (1, 32)):
     """pages -> re-extracted text (url, text, lang, error)."""
     return extract_text(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)
+
+
+def documents_ds(sf_dir: str, *, columns: list[str] | None = None,
+                 num_blocks: int = 32):
+    """Raw documents table (column-pruned read + block split)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return ds.repartition(num_blocks) if num_blocks else ds
+
+
+def embeddings_ds(sf_dir: str, *, num_blocks: int = 32):
+    """Embeddings table (vec_id, embedding: list<float>, label)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ds.repartition(num_blocks) if num_blocks else ds

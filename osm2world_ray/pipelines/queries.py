@@ -600,6 +600,391 @@ def q_clip_to_cell(sf_dir: str):
     return ds.map_batches(clip_footprints_to_cells, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# deduplication family (documents table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS md5, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content hash -> hash-partitioned group -> keep
+    first (min doc_id). The probe-dedup precedent
+    (SpatialIndex.java:30-43) at corpus scale: partial (md5 -> min,
+    count) per batch, bounded-bucket shuffle, vectorized combine."""
+    import pandas as pd
+
+    from ..stages import overlaps
+    from ..stages.dedup import md5_hash_batch
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = md5_hash_batch(batch)
+        g = h.select(["md5", "doc_id"]).group_by("md5").aggregate(
+            [("doc_id", "min"), ([], "count_all")]
+        )
+        key = np.array(
+            [int(x[:15], 16) for x in g["md5"].to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "md5": g["md5"],
+                "keeper_doc_id": g["doc_id_min"].cast(pa.int64()),
+                "n_copies": g["count_all"].cast(pa.int64()),
+                "bucket": pa.array(overlaps.bucket_of(key)),
+            }
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("md5", as_index=False, sort=False).agg(
+            keeper_doc_id=("keeper_doc_id", "min"), n_copies=("n_copies", "sum")
+        )
+        return out.astype(
+            {"keeper_doc_id": np.int64, "n_copies": np.int64}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(combine, batch_format="pandas")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(floor(jaccard(a.text, b.text) * 1000 + 0.5) AS BIGINT)
+             AS jaccard_mil
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE jaccard(a.text, b.text) >= 0.5
+    """,
+)
+def q_dedup_jaccard_pairs(sf_dir: str):
+    """Character-set Jaccard similarity join within each source
+    (DuckDB jaccard() semantics): shuffle by the bounded source key,
+    bitmap-popcount pairwise kernel per group."""
+    from ..stages.dedup import charset_jaccard_pairs
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text", "source"])
+    return ds.groupby("source").map_groups(
+        charset_jaccard_pairs, batch_format="pandas"
+    )
+
+
+@register("dedup_minhash_lsh")  # no SQL oracle: blake2b shingle hashes
+def q_dedup_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified
+    (threshold 0.8): shingle -> 64-perm signature -> band explode ->
+    bounded-bucket shuffle on (band, band_hash) -> candidate pairs ->
+    broadcast-text verification -> dedup. Deterministic; rows-only
+    check (hash functions not expressible in SQL)."""
+    import pandas as pd
+    import ray
+
+    from ..stages import overlaps
+    from ..stages.dedup import JaccardVerify, MinHashStage, bucket_candidate_pairs
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    bands = ds.map_batches(
+        MinHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b["band_hash"].to_numpy() * 8 + b["band"].to_numpy()
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
+
+    bands = bands.map_batches(add_bucket, batch_format="pyarrow")
+    cands = bands.groupby("bucket").map_groups(
+        bucket_candidate_pairs, batch_format="pandas"
+    )
+
+    import pyarrow.parquet as pq
+
+    texts_ref = ray.put(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    verified = cands.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": 0.8},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def dedup_pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return verified.repartition(1).map_batches(
+        dedup_pairs, batch_format="pyarrow", batch_size=None
+    )
+
+
+@register("dedup_simhash")  # no SQL oracle: blake2b token hashes
+def q_dedup_simhash(sf_dir: str):
+    """64-bit SimHash fingerprint per document (deterministic;
+    rows-only check)."""
+    from ..stages.dedup import SimHashStage
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "'the','and','of','to','a','in','is','that','it','for'"
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN ({_STOPWORDS_SQL}))) AS stopword_count,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_words_regex
+    FROM documents
+    """,
+)
+def q_text_quality(sf_dir: str):
+    """Quality-scoring signals per document (token counts, stopword
+    ratio inputs, BPE-ish regex token count) — integer-only outputs."""
+    from ..stages.textstats import QualityScore
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        QualityScore, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+    )
+
+
+@register(
+    "fingerprint_md5",
+    """
+    SELECT doc_id, md5(text) AS md5 FROM documents
+    """,
+)
+def q_fingerprint_md5(sf_dir: str):
+    """Content fingerprint (md5, matching DuckDB's md5())."""
+    from ..stages.dedup import md5_hash_batch
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: md5_hash_batch(b).select(["doc_id", "md5"]),
+        batch_format="pyarrow",
+    )
+
+
+@register("lang_id")  # heuristic -> rows-only check
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language guess per document."""
+    from ..stages.textstats import LangId
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_N_ANN_QUERIES = 8
+
+
+@register(
+    "knn_brute_cosine",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_N_ANN_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS cos
+      FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, vec_id,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_udeg
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_knn_brute_cosine(sf_dir: str):
+    """Brute-force cosine top-5 for the first 8 vectors as queries:
+    broadcast normalized query matrix, per-batch matmul + local top-k
+    partials, single-partition merge — map + tree-combine, no
+    shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.ann import BruteForceTopK, topk_finalize
+
+    con = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries_tbl = con.filter(
+        pa.compute.less(con["vec_id"], _N_ANN_QUERIES)
+    ).select(["vec_id", "embedding"])
+    ref = ray.put(queries_tbl)
+
+    ds = datasets.embeddings_ds(sf_dir)
+    ds = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+    return ds.repartition(1).map_batches(
+        topk_finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+@register("ann_lsh_cosine")  # approximate -> rows-only check
+def q_ann_lsh_cosine(sf_dir: str):
+    """LSH-bucketed approximate cosine top-5 (random-hyperplane
+    buckets as candidate pruning; deterministic planes)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.ann import LSHBucketTopK, topk_finalize
+
+    con = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries_tbl = con.filter(
+        pa.compute.less(con["vec_id"], _N_ANN_QUERIES)
+    ).select(["vec_id", "embedding"])
+    ref = ray.put(queries_tbl)
+
+    ds = datasets.embeddings_ds(sf_dir)
+    ds = ds.map_batches(
+        LSHBucketTopK,
+        fn_constructor_kwargs={"queries_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+    return ds.repartition(1).map_batches(
+        topk_finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payload columns; stub decode, real Ray shape)
+# ---------------------------------------------------------------------------
+
+def _payloads_ds(sf_dir: str):
+    """documents -> (doc_id, payload: binary) — utf-8 text bytes stand in
+    for an image/audio payload column (codec libs absent; see
+    stages/multimodal.py)."""
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "payload": b["text"].cast(pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow")
+
+
+@register(
+    "mm_image_decode",
+    """
+    SELECT doc_id,
+           64 + octet_length(encode(text)) % 64 AS width,
+           64 + ascii(substring(text, 1, 1)) % 64 AS height,
+           CAST(3 AS BIGINT) AS channels,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def q_mm_image_decode(sf_dir: str):
+    """Actor-pool image decode over a binary payload column (STUB body,
+    real plumbing: small batches for wide rows, metadata-only output).
+    """
+    from ..stages.multimodal import MM_BATCH_SIZE, ImageDecode
+
+    return _payloads_ds(sf_dir).map_batches(
+        ImageDecode,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+@register(
+    "mm_resize_plan",
+    """
+    WITH dec AS (
+      SELECT doc_id,
+             64 + octet_length(encode(text)) % 64 AS width,
+             64 + ascii(substring(text, 1, 1)) % 64 AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           (width * (224000 // greatest(width, height))) // 1000 AS out_w,
+           (height * (224000 // greatest(width, height))) // 1000 AS out_h,
+           224000 // greatest(width, height) AS scale_mil
+    FROM dec
+    """,
+)
+def q_mm_resize_plan(sf_dir: str):
+    """Decode -> integer resize plan (fit-longest-side), chained actor
+    stages."""
+    from ..stages.multimodal import MM_BATCH_SIZE, ImageDecode, resize_plan
+
+    ds = _payloads_ds(sf_dir).map_batches(
+        ImageDecode,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    return ds.map_batches(resize_plan, batch_format="pyarrow").select_columns(
+        ["doc_id", "width", "height", "out_w", "out_h", "scale_mil"]
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             (octet_length(encode(text)) + 255) // 256 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
+           least(n_bytes - unnest(range(0, n_frames, 4)) * 256, 256)
+             AS frame_len
+    FROM f
+    """,
+)
+def q_mm_frame_sample(sf_dir: str):
+    """Video-style frame sampling fan-out over binary payloads
+    (row -> k frame rows, vectorized)."""
+    from ..stages.multimodal import MM_BATCH_SIZE, frame_sample
+
+    return _payloads_ds(sf_dir).map_batches(
+        frame_sample, batch_format="pyarrow", batch_size=MM_BATCH_SIZE
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

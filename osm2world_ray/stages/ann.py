@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns.
+
+The engine-side analogue of the reference's nearest-feature lookups
+(attachment join ``O2WConverterImpl.java:243-299``: candidate fetch ->
+predicate filter -> min-distance selection), lifted to vector space
+for training-data pipelines:
+
+- ``BruteForceTopK``: exact cosine top-k — the broadcast small side is
+  the QUERY matrix (``ray.put`` once, normalized float64), each batch
+  does one matmul against it and keeps its local top-k (partial); a
+  final single-partition combine merges partials. No shuffle: the
+  candidate flow is map -> tree-combine, like every bounded-output
+  aggregate here.
+- ``LSHBucketTopK``: random-hyperplane LSH — the scale path. Planes
+  are deterministic (seeded PCG64); a batch keeps only rows whose
+  sign-bucket matches one of the query buckets (candidate filter),
+  then scores those. Approximate by construction -> rows-only check.
+
+Scores are computed in float64 and snapped to integer micro-units so
+oracle comparisons never hash raw floats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DIM = 64
+K = 5
+
+
+def _resolve(ref):
+    try:
+        import ray
+
+        if isinstance(ref, ray.ObjectRef):
+            return ray.get(ref)
+    except ImportError:
+        pass
+    return ref
+
+
+def _embedding_matrix(batch: pa.Table) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy flatten)."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """embeddings batch -> per-batch top-k candidates per query.
+
+    ``queries_ref``: broadcast (ray.put) pa.Table (vec_id, embedding).
+    Emits (q_id, vec_id, cos) partials; combine with
+    :func:`topk_finalize` after coalescing to one partition.
+    """
+
+    def __init__(self, queries_ref, *, k: int = K):
+        q = _resolve(queries_ref)
+        self.q_ids = q["vec_id"].to_numpy()
+        self.Q = _normalize(_embedding_matrix(q))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy()
+        emb = _normalize(_embedding_matrix(batch))
+        scores = self.Q @ emb.T  # (nq, nb)
+        out_q, out_v, out_c = [], [], []
+        for qi, q_id in enumerate(self.q_ids):
+            s = scores[qi]
+            mask = vec_ids != q_id  # exclude self-match
+            v = vec_ids[mask]
+            sv = s[mask]
+            # deterministic top-k: score desc, vec_id asc
+            order = np.lexsort((v, -sv))[: self.k]
+            out_q.append(np.full(len(order), q_id, dtype=np.int64))
+            out_v.append(v[order])
+            out_c.append(sv[order])
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+
+def topk_finalize(batch: pa.Table, *, k: int = K) -> pa.Table:
+    """Merge per-batch candidate partials -> global top-k with rank."""
+    q = batch["q_id"].to_numpy()
+    v = batch["vec_id"].to_numpy()
+    c = batch["cos"].to_numpy()
+    order = np.lexsort((v, -c, q))
+    q, v, c = q[order], v[order], c[order]
+    # rank within q: position since start of q's run
+    starts = np.concatenate(([0], np.nonzero(q[1:] != q[:-1])[0] + 1))
+    idx = np.arange(len(q), dtype=np.int64)
+    run_start = np.repeat(starts, np.diff(np.concatenate((starts, [len(q)]))))
+    rank = idx - run_start
+    keep = rank < k
+    return pa.table(
+        {
+            "q_id": pa.array(q[keep]),
+            "rank": pa.array(rank[keep] + 1),
+            "vec_id": pa.array(v[keep]),
+            "cos_udeg": pa.array(np.floor(c[keep] * 1e6 + 0.5).astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate variant
+# ---------------------------------------------------------------------------
+
+#: 2^N_PLANES buckets; size so expected bucket occupancy stays well
+#: above k at the corpus sizes in play (tune up as the corpus grows)
+N_PLANES = 6
+_SEED = 1234
+
+
+def _planes(dim: int = DIM, n: int = N_PLANES) -> np.ndarray:
+    return np.random.default_rng(_SEED).standard_normal((n, dim))
+
+
+def _buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.int64) << np.arange(planes.shape[0], dtype=np.int64)).sum(
+        axis=1
+    )
+
+
+class LSHBucketTopK:
+    """Approximate cosine top-k: only same-LSH-bucket candidates scored.
+
+    At cluster scale the bucket id doubles as the hash-shuffle key for
+    building a persisted bucketed index; here the query-bucket set is
+    broadcast and each batch filters itself — a candidate *pruning*
+    map, no shuffle.
+    """
+
+    def __init__(self, queries_ref, *, k: int = K):
+        q = _resolve(queries_ref)
+        self.q_ids = q["vec_id"].to_numpy()
+        self.Q = _normalize(_embedding_matrix(q))
+        self.planes = _planes()
+        self.q_buckets = _buckets(self.Q, self.planes)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy()
+        emb = _normalize(_embedding_matrix(batch))
+        b = _buckets(emb, self.planes)
+        out_q, out_v, out_c = [], [], []
+        for qi, q_id in enumerate(self.q_ids):
+            mask = (b == self.q_buckets[qi]) & (vec_ids != q_id)
+            if not mask.any():
+                continue
+            v = vec_ids[mask]
+            sv = emb[mask] @ self.Q[qi]
+            order = np.lexsort((v, -sv))[: self.k]
+            out_q.append(np.full(len(order), q_id, dtype=np.int64))
+            out_v.append(v[order])
+            out_c.append(sv[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "q_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )

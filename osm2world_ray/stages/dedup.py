@@ -121,14 +121,36 @@ class MinHashStage:
 
 
 def bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """(band, band_hash) bucket -> ordered candidate pairs."""
-    ids = np.sort(group["doc_id"].to_numpy(dtype=np.int64))
-    ids = np.unique(ids)
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                             "doc_b": pd.Series(dtype=np.int64)})
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+    """Hash-bucket of LSH band rows -> ordered candidate pairs.
+
+    ``group`` holds every (band, band_hash) bucket hashed into one
+    bounded shuffle bucket; within-bucket pair generation is the
+    vectorized cumsum machinery shared with the spatial self-join
+    (``overlaps._within_group_pairs``). Pairs may repeat across bands
+    — dedup downstream (after verification) with a small unique pass.
+    """
+    from .overlaps import _within_group_pairs
+
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64)})
+    if len(group) < 2:
+        return empty
+    band = group["band"].to_numpy(dtype=np.int64)
+    bh = group["band_hash"].to_numpy(dtype=np.int64)
+    doc = group["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    key_change = np.ones(len(doc), dtype=bool)
+    key_change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    sizes = np.diff(np.concatenate((np.nonzero(key_change)[0], [len(doc)])))
+    ii, jj = _within_group_pairs(sizes)
+    if len(ii) == 0:
+        return empty
+    a, b = doc[ii], doc[jj]
+    swap = a > b
+    a, b = np.where(swap, b, a), np.where(swap, a, b)
+    keep = a != b
+    return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
 
 
 class JaccardVerify:
@@ -205,3 +227,64 @@ def _resolve(ref):
     except ImportError:
         pass
     return ref
+
+
+# ---------------------------------------------------------------------------
+# character-set Jaccard similarity join (DuckDB jaccard() semantics)
+# ---------------------------------------------------------------------------
+
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def charset_jaccard_pairs(group: pd.DataFrame, *, threshold: float = 0.5
+                          ) -> pd.DataFrame:
+    """All doc pairs in the group with character-set Jaccard >=
+    threshold (DuckDB ``jaccard()`` semantics: case-sensitive distinct
+    characters, |A∩B| / |A∪B|).
+
+    Vectorization: each text's character set becomes a fixed-width
+    bitmap over the group's alphabet; pairwise intersect/union are
+    AND/OR + popcount over uint64 words — O(n^2 * words) numpy ops, no
+    per-pair Python. Group = one partition of a bounded shuffle key
+    (here: the ``source`` column), the same discipline as the spatial
+    pairwise joins.
+    """
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype=np.int64),
+            "doc_b": pd.Series(dtype=np.int64),
+            "jaccard_mil": pd.Series(dtype=np.int64),
+        }
+    )
+    n = len(group)
+    if n < 2:
+        return empty
+    doc = group["doc_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(doc, kind="stable")
+    doc = doc[order]
+    texts = group["text"].to_numpy()[order]
+    sets = [frozenset(t) for t in texts]
+    alphabet = sorted(set().union(*sets))
+    pos = {c: i for i, c in enumerate(alphabet)}
+    words = (len(alphabet) + 63) // 64
+    bm = np.zeros((n, words), dtype=np.uint64)
+    for i, s in enumerate(sets):
+        for c in s:
+            p = pos[c]
+            bm[i, p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+
+    ii, jj = np.triu_indices(n, k=1)
+    inter_bits = bm[ii] & bm[jj]
+    union_bits = bm[ii] | bm[jj]
+    inter = _POP[inter_bits.view(np.uint8)].reshape(len(ii), -1).sum(axis=1)
+    union = _POP[union_bits.view(np.uint8)].reshape(len(ii), -1).sum(axis=1)
+    union = np.maximum(union, 1)
+    jacc = inter.astype(np.float64) / union.astype(np.float64)
+    keep = jacc >= threshold
+    return pd.DataFrame(
+        {
+            "doc_a": doc[ii[keep]],
+            "doc_b": doc[jj[keep]],
+            "jaccard_mil": np.floor(jacc[keep] * 1000 + 0.5).astype(np.int64),
+        }
+    )

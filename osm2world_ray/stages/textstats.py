@@ -31,11 +31,13 @@ _LANG_STOPWORDS = {
 
 class QualityScore:
     """documents batch -> integer quality signals per doc:
-    n_tokens (whitespace split), n_chars, stopword_count (en profile),
-    mean_token_len_mil (per-mille)."""
+    n_tokens (single-space split, DuckDB string_split semantics),
+    n_chars, stopword_count (en profile), n_words_regex (BPE-ish
+    ``[a-z]+|[0-9]+`` token count; compiled once per actor)."""
 
     def __init__(self):
         self.stop = _LANG_STOPWORDS["en"]
+        self.word_re = re.compile(r"[a-z]+|[0-9]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"]
@@ -44,12 +46,15 @@ class QualityScore:
         n_chars = texts.str.len().astype(np.int64)
         stop = self.stop
         stop_n = toks.map(lambda ws: sum(1 for w in ws if w in stop)).astype(np.int64)
+        wre = self.word_re
+        n_words = texts.map(lambda t: len(wre.findall(t))).astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
                 "n_tokens": n_tokens,
                 "n_chars": n_chars,
                 "stopword_count": stop_n,
+                "n_words_regex": n_words,
             }
         )
 

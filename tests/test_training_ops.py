@@ -1,0 +1,153 @@
+"""Training-data operator tests: dedup / text stats / ANN kernels, plus
+run-twice determinism for the rows-only (non-SQL-oracle) queries."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# kernel units
+# ---------------------------------------------------------------------------
+
+def test_minhash_identical_and_disjoint():
+    from osm2world_ray.stages.dedup import minhash_signature
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    sig_a = minhash_signature(a)
+    assert sig_a.shape == (64,)
+    assert np.array_equal(sig_a, minhash_signature(a))
+    b = "completely different words entirely unrelated to anything before"
+    frac_equal = (sig_a == minhash_signature(b)).mean()
+    assert frac_equal < 0.2
+
+
+def test_minhash_near_duplicate_similarity():
+    from osm2world_ray.stages.dedup import minhash_signature, token_ngrams, jaccard
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base + "lambda mu"
+    j = jaccard(token_ngrams(base), token_ngrams(near))
+    est = (minhash_signature(base) == minhash_signature(near)).mean()
+    assert abs(est - j) < 0.25  # 64 perms -> coarse but unbiased
+
+
+def test_simhash_stability_and_locality():
+    from osm2world_ray.stages.dedup import simhash64
+
+    t = "one two three four five six seven eight nine ten"
+    assert simhash64(t) == simhash64(t)
+    near = t + " eleven"
+    ham = bin(simhash64(t) ^ simhash64(near)).count("1")
+    far = "totally different content with other tokens here now"
+    ham_far = bin(simhash64(t) ^ simhash64(far)).count("1")
+    assert ham < ham_far
+
+
+def test_charset_jaccard_matches_duckdb():
+    from osm2world_ray.stages.dedup import charset_jaccard_pairs
+
+    texts = ["hello world", "hello there", "abcabc", "xyz", "hello worlds"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = charset_jaccard_pairs(df, threshold=0.0)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(floor(jaccard(a.text, b.text)*1000 + 0.5) AS BIGINT)
+                 AS jaccard_mil
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+        """
+    ).df()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    exp = exp.astype({"doc_a": np.int64, "doc_b": np.int64, "jaccard_mil": np.int64})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_within_group_pairs():
+    from osm2world_ray.stages.overlaps import _within_group_pairs
+
+    ii, jj = _within_group_pairs(np.array([3, 1, 2]))
+    pairs = set(zip(ii.tolist(), jj.tolist()))
+    assert pairs == {(0, 1), (0, 2), (1, 2), (4, 5)}
+    ii, jj = _within_group_pairs(np.array([1, 1]))
+    assert len(ii) == 0
+
+
+def test_line_cells_covers_endpoints_and_count():
+    from osm2world_ray.geo.cells import line_cells
+
+    # a long diagonal: cells crossed ~ dx + dy + 1, not dx * dy
+    r = 5
+    x1, y1, x2, y2 = (np.array([-9.9]), np.array([40.1]),
+                      np.array([9.9]), np.array([49.9]))
+    row, cx, cy = line_cells(r, x1, y1, x2, y2)
+    assert (row == 0).all()
+    scale = 1 << r
+    exp_start = (int((x1[0] + 180) * scale), int((y1[0] + 90) * scale))
+    exp_end = (int((x2[0] + 180) * scale), int((y2[0] + 90) * scale))
+    cells = set(zip(cx.tolist(), cy.tolist()))
+    assert exp_start in cells and exp_end in cells
+    dx = abs(exp_end[0] - exp_start[0])
+    dy = abs(exp_end[1] - exp_start[1])
+    # dx+dy+1 minus one per (near-)corner crossing; far below bbox area
+    assert max(dx, dy) + 1 <= len(cells) <= dx + dy + 2
+    assert len(cells) < dx * dy  # the bbox fan-out this replaces
+
+
+def test_brute_force_topk_kernel():
+    import pyarrow as pa
+
+    from osm2world_ray.stages.ann import BruteForceTopK, topk_finalize
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((50, 8)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, row)) for row in emb],
+                                   type=pa.list_(pa.float32())),
+        }
+    )
+    q = tbl.slice(0, 2)
+    stage = BruteForceTopK(q, k=3)
+    out = topk_finalize(stage(tbl), k=3)
+    df = out.to_pandas()
+    assert set(df["q_id"]) == {0, 1}
+    assert list(df[df.q_id == 0]["rank"]) == [1, 2, 3]
+    # exact check vs numpy for q=0
+    e = emb.astype(np.float64)
+    e = e / np.linalg.norm(e, axis=1, keepdims=True)
+    cos = e @ e[0]
+    cos[0] = -np.inf
+    best = np.argsort(-cos, kind="stable")[:3]
+    assert list(df[df.q_id == 0]["vec_id"]) == best.tolist()
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries: run twice, identical result (determinism invariant)
+# ---------------------------------------------------------------------------
+
+ROWS_ONLY = ["dedup_minhash_lsh", "dedup_simhash", "lang_id", "ann_lsh_cosine"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_deterministic(name, ray_session):
+    from osm2world_ray.pipelines.queries import all_queries
+
+    fn = all_queries()[name]
+
+    def run():
+        res = fn(SF)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    a, b = run(), run()
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
