@@ -985,6 +985,35 @@ def q_mm_frame_sample(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# resumable partitioned export (checkpoint + lineage + metrics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "checkpoint_export",
+    f"""
+    WITH {synth.MENTIONS_SQL}, assigned AS (
+      SELECT url, {synth.sql_tx('lon', 13)} AS tx, {synth.sql_ty('lat', 13)} AS ty
+      FROM mentions
+    )
+    SELECT CAST(6 AS BIGINT) AS pz, tx // 128 AS px, ty // 128 AS py,
+           count(*) AS rows, count(DISTINCT url) AS n_urls
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+)
+def q_checkpoint_export(sf_dir: str):
+    """Resumable partitioned tile export (TilesetCommand semantics):
+    z13 rows written as atomic {pz}/{px}/{py} parquet partitions with
+    lineage+metrics manifests; returns the per-partition metrics rows.
+    Writes to a fresh scratch dir per invocation."""
+    import tempfile
+
+    from ..state.checkpoint import checkpointed_tile_export
+
+    out_dir = tempfile.mkdtemp(prefix="o2w_ckpt_", dir="/tmp")
+    return checkpointed_tile_export(sf_dir, out_dir, zoom=13, parent_zoom=6)
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
