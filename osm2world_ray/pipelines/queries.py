@@ -1014,6 +1014,123 @@ def q_checkpoint_export(sf_dir: str):
     return checkpointed_tile_export(sf_dir, out_dir, zoom=13, parent_zoom=6)
 
 
+# ---------------------------------------------------------------------------
+# raster <-> vector (ImageExporter / SRTMData analogues)
+# ---------------------------------------------------------------------------
+
+@register(
+    "density_raster",
+    f"""
+    WITH {synth.MENTIONS_SQL}, c AS (
+      SELECT {synth.sql_cell_ix('lon', 5)} AS ix,
+             {synth.sql_cell_iy('lat', 5)} AS iy
+      FROM mentions
+    )
+    SELECT ix // 256 AS wx, iy // 256 AS wy,
+           iy % 256 AS row, ix % 256 AS col, count(*) AS n
+    FROM c GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_density_raster(sf_dir: str):
+    """Vector->raster: per-cell page-density heatmap, densified into
+    bounded 256x256 pixel windows per partition (the ImageExporter
+    multi-pass canvas, O2WConfig.canvasLimit:317-319)."""
+    from ..stages.raster import density_raster
+
+    return density_raster(datasets.mentions_ds(sf_dir), r=5)
+
+
+@register(
+    "raster_sites",
+    f"""
+    WITH {synth.MENTIONS_SQL}, fan AS (
+      SELECT url, mention_idx, cell_ix,
+             unnest(range(iy0, iy1 + 1)) AS cell_iy
+      FROM (
+        SELECT url, mention_idx,
+               unnest(range({synth.sql_cell_ix(f'lon - {synth.RLON}', 7)},
+                            {synth.sql_cell_ix(f'lon + {synth.RLON}', 7)} + 1))
+                 AS cell_ix,
+               {synth.sql_cell_iy(f'lat - {synth.RLAT}', 7)} AS iy0,
+               {synth.sql_cell_iy(f'lat + {synth.RLAT}', 7)} AS iy1
+        FROM mentions
+      )
+    )
+    SELECT url, mention_idx, cell_ix, cell_iy,
+           ((cell_ix * 73856093 + cell_iy * 19349663) % 4000) AS ele_m
+    FROM fan
+    """,
+)
+def q_raster_sites(sf_dir: str):
+    """Raster->vector: elevation sample sites for each mention's padded
+    bbox from lazily-cached raster tiles (SRTMData.getSites,
+    SRTMData.java:38-80; per-actor tile cache = loadTileIfNecessary)."""
+    from ..stages.raster import RasterSites
+
+    ds = datasets.mentions_ds(sf_dir)
+
+    def add_bbox(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lon = b["lon"].to_numpy()
+        return (
+            b.append_column("minlon", pa.array(lon - synth.RLON))
+            .append_column("maxlon", pa.array(lon + synth.RLON))
+            .append_column("minlat", pa.array(lat - synth.RLAT))
+            .append_column("maxlat", pa.array(lat + synth.RLAT))
+        )
+
+    ds = ds.map_batches(add_bbox, batch_format="pyarrow")
+    return ds.map_batches(
+        RasterSites,
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+
+
+@register(
+    "idw_elevation",
+    f"""
+    WITH {synth.MENTIONS_SQL}, q AS (
+      SELECT url, mention_idx,
+             (lon + 180.0) * 128 AS qx, (lat + 90.0) * 128 AS qy,
+             {synth.sql_cell_ix('lon', 7)} AS cx,
+             {synth.sql_cell_iy('lat', 7)} AS cy
+      FROM mentions
+    ),
+    neigh AS (
+      SELECT url, mention_idx, qx, qy,
+             cx + dx.x AS sx, cy + dy.y AS sy
+      FROM q, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+    ),
+    w AS (
+      SELECT url, mention_idx,
+             1.0 / ((qx - (sx + 0.5)) ^ 2 + (qy - (sy + 0.5)) ^ 2) AS wgt,
+             ((sx * 73856093 + sy * 19349663) % 4000) AS ele
+      FROM neigh
+    )
+    SELECT url, mention_idx,
+           CAST(floor(sum(wgt * ele) / sum(wgt) * 1000 + 0.5) AS BIGINT)
+             AS ele_mm
+    FROM w GROUP BY url, mention_idx
+    """,
+)
+def q_idw_elevation(sf_dir: str):
+    """Inverse-distance-weighted elevation per mention over the 3x3
+    raster-cell neighborhood (InverseDistanceWeightingInterpolator
+    .java:14-90: exponent -2, grid-cell probe) — the kNN-interpolator
+    actor template."""
+    from ..stages.raster import IDWInterpolate
+
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        IDWInterpolate,
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
