@@ -1131,6 +1131,87 @@ def q_idw_elevation(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# tag-value normalization (ValueParseUtil analogues)
+# ---------------------------------------------------------------------------
+# Raw values are synthesized deterministically per doc_id; the Ray side
+# PARSES them (functions/parsers.py), while the oracle hardcodes the
+# expected integers per variant — an independent check of the parse
+# logic, not a re-derivation.
+
+_SPEED_RAW = ["50", "30 km/h", "25mph", "lightspeed"]
+_MEASURE_RAW = ["3.5", "2m", "7.2km", "6' 6\"", "bogus"]
+_ANGLE_RAW = ["47", "360", "SW", "forward"]
+_COLOR_RAW = ["#ff0000", "#010203", "0x0A0B0C", "ff0000"]
+_LEVELS_RAW = ["-1-3", "0-2;1-4", "5.5", "13 - 14"]
+_INCLINE_RAW = ["10%", "-5.5 %", "steep", "12.3%"]
+
+
+def _case(col: str, mod: int, vals: list) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN "
+        + ("NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v)))
+        for i, v in enumerate(vals)
+    )
+    return f"CASE doc_id % {mod} {arms} END"
+
+
+@register(
+    "parse_tags",
+    f"""
+    SELECT doc_id,
+           {_case('doc_id', 4, [50000, 30000, 40234, None])} AS speed_mmh,
+           {_case('doc_id', 5, [3500, 2000, 7200000, 1981, None])} AS measure_mm,
+           {_case('doc_id', 4, [47000, 0, 225000, None])} AS angle_mdeg,
+           {_case('doc_id', 4, [16711680, 66051, 658188, None])} AS color_rgb,
+           {_case('doc_id', 4, ['-1,0,1,2,3', '0,1,2,3,4', None, '13,14'])} AS levels_csv,
+           {_case('doc_id', 4, [10000, -5500, None, 12300])} AS incline_mpct
+    FROM documents
+    """,
+)
+def q_parse_tags(sf_dir: str):
+    """Tag-value normalizer kernels over a synthesized raw-tag table:
+    speed/measure/angle/color/levels/incline parsed with the exact
+    ValueParseUtil semantics (null on failure, float32 unit-constant
+    quirks), outputs snapped to integer milli-units."""
+    import math
+
+    from ..functions import parsers as P
+
+    def parse_batch(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+
+        def milli(v):
+            return None if v is None else int(math.floor(v * 1000 + 0.5))
+
+        def rgb(c):
+            return None if c is None else (c[0] << 16) | (c[1] << 8) | c[2]
+
+        def csv(v):
+            return None if v is None else ",".join(map(str, v))
+
+        speed = [milli(P.parse_speed(_SPEED_RAW[d % 4])) for d in doc_id]
+        meas = [milli(P.parse_measure(_MEASURE_RAW[d % 5])) for d in doc_id]
+        ang = [milli(P.parse_angle(_ANGLE_RAW[d % 4])) for d in doc_id]
+        col = [rgb(P.parse_color(_COLOR_RAW[d % 4])) for d in doc_id]
+        lev = [csv(P.parse_levels(_LEVELS_RAW[d % 4])) for d in doc_id]
+        inc = [milli(P.parse_incline(_INCLINE_RAW[d % 4])) for d in doc_id]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "speed_mmh": pa.array(speed, type=pa.int64()),
+                "measure_mm": pa.array(meas, type=pa.int64()),
+                "angle_mdeg": pa.array(ang, type=pa.int64()),
+                "color_rgb": pa.array(col, type=pa.int64()),
+                "levels_csv": pa.array(lev, type=pa.string()),
+                "incline_mpct": pa.array(inc, type=pa.int64()),
+            }
+        )
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    return ds.map_batches(parse_batch, batch_format="pyarrow")
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
