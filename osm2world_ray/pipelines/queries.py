@@ -1212,6 +1212,229 @@ def q_parse_tags(sf_dir: str):
     return ds.map_batches(parse_batch, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# per-node / per-line geometry (MapNode adjacency, equidistribution,
+# seeded scattering, fault-tolerant extraction, terrain grid)
+# ---------------------------------------------------------------------------
+
+def _segments_ds(sf_dir: str):
+    from ..stages.extract import SegmentExtractor
+
+    return datasets.pages_ds(sf_dir).map_batches(
+        SegmentExtractor,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 32),
+        num_cpus=1,
+    )
+
+
+@register(
+    "node_adjacency",
+    f"""
+    WITH {synth.SEGMENTS_SQL},
+    inc AS (
+      SELECT url, seg_idx AS node_idx, seg_idx,
+             x2 - x1 AS dx, y2 - y1 AS dy FROM segs
+      UNION ALL
+      SELECT url, seg_idx + 1 AS node_idx, seg_idx,
+             x1 - x2 AS dx, y1 - y2 AS dy FROM segs
+    )
+    SELECT url, node_idx,
+           string_agg(seg_idx, ',' ORDER BY atan2(dx, dy), seg_idx)
+             AS segs_csv
+    FROM inc GROUP BY url, node_idx
+    """,
+)
+def q_node_adjacency(sf_dir: str):
+    """Per-node incident segments in stable rotational order —
+    MapNode.sortLinesByAngle (MapNode.java:61-83) + the network
+    adjacency gather (NetworkCalculator.java:45-107). Incidences fan
+    out 2x per segment, shuffle on a bounded bucket of the node owner,
+    vectorized angular sort per bucket."""
+    from ..stages import overlaps
+    from ..stages.linework import angular_adjacency, segment_incidences
+
+    ds = _segments_ds(sf_dir).map_batches(
+        segment_incidences, batch_format="pyarrow"
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        doc = pa.compute.utf8_slice_codeunits(
+            b["url"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        return b.append_column(
+            "bucket", pa.array(overlaps.bucket_of(doc * 8 + b["node_idx"].to_numpy()))
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        angular_adjacency, batch_format="pandas"
+    )
+
+
+_EQD = 0.02  # preferred point spacing in degrees
+
+
+@register(
+    "equidistribute_points",
+    f"""
+    WITH {synth.SEGMENTS_SQL},
+    params AS (
+      SELECT url, seg_idx, x1, y1, x2, y2,
+             sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) AS len
+      FROM segs
+    ),
+    p2 AS (
+      SELECT *, CAST(floor(len / {_EQD} + 0.5) AS BIGINT) AS nseg
+      FROM params
+    )
+    SELECT url, seg_idx, unnest(range(0, nseg + 1)) AS point_idx,
+      CAST(floor((x1 + unnest(range(0, nseg + 1)) *
+            (((x2 - x1) / len) * (len / nseg))) * 1000000 + 0.5) AS BIGINT)
+        AS px_udeg,
+      CAST(floor((y1 + unnest(range(0, nseg + 1)) *
+            (((y2 - y1) / len) * (len / nseg))) * 1000000 + 0.5) AS BIGINT)
+        AS py_udeg
+    FROM p2 WHERE nseg > 0
+    """,
+)
+def q_equidistribute_points(sf_dir: str):
+    """Equidistant points along each mention segment
+    (GeometryUtil.equallyDistributePointsAlong, GeometryUtil.java:548-583):
+    steps/streetlights/fence-posts placement as a vectorized fan-out."""
+    from ..stages.linework import equidistribute
+
+    return _segments_ds(sf_dir).map_batches(
+        lambda b: equidistribute(b, preferred_distance=_EQD),
+        batch_format="pyarrow",
+    )
+
+
+@register("scatter_points")  # java.util.Random stream -> rows-only check
+def q_scatter_points(sf_dir: str):
+    """Seeded pseudo-random point scattering on mention footprints
+    (GeometryUtil.distributePointsOn, GeometryUtil.java:718-798) with
+    bit-exact java.util.Random parity; seed = mention key (the forest
+    scattering seeds with the area id, TreeModule.java:545)."""
+    from ..stages.linework import ScatterPoints
+
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        ScatterPoints, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+    )
+
+
+@register(
+    "extract_errors",
+    f"""
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           'no <article> element' AS error
+    FROM documents WHERE doc_id % 41 = 0
+    """,
+)
+def q_extract_errors(sf_dir: str):
+    """Per-row fault tolerance (FaultTolerantIterationUtil.java:17-55):
+    corrupted pages yield error rows instead of failing the block.
+    Corruption injected deterministically (doc_id % 41 == 0 loses its
+    article tags)."""
+    from ..stages.extract import TextExtractor
+
+    ds = datasets.pages_ds(sf_dir)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = pc.utf8_slice_codeunits(
+            b["url"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        htmls = b["html"].to_pylist()
+        out = [
+            h.replace(b"<article>", b"").replace(b"</article>", b"")
+            if d % 41 == 0 else h
+            for h, d in zip(htmls, doc)
+        ]
+        return b.set_column(
+            b.schema.get_field_index("html"), "html",
+            pa.array(out, type=pa.binary()),
+        )
+
+    ds = ds.map_batches(corrupt, batch_format="pyarrow")
+    ds = ds.map_batches(
+        TextExtractor, batch_format="pyarrow", batch_size=None,
+        concurrency=(1, 16), num_cpus=1,
+    )
+    def keep_errors(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b["error"])).select(["url", "error"])
+
+    return ds.map_batches(keep_errors, batch_format="pyarrow")
+
+
+_GRID_STEP = 0.5  # terrain grid spacing in degrees
+
+
+@register(
+    "terrain_grid",
+    f"""
+    WITH {synth.MENTIONS_SQL},
+    bounds AS (
+      SELECT min(lon) AS minlon, min(lat) AS minlat,
+             max(lon) AS maxlon, max(lat) AS maxlat
+      FROM mentions
+    ),
+    gx AS (
+      SELECT *, unnest(range(0,
+        CAST(floor((maxlon - minlon) / {_GRID_STEP}) AS BIGINT) + 1)) AS cell_x
+      FROM bounds
+    )
+    SELECT cell_x, unnest(range(0,
+        CAST(floor((maxlat - minlat) / {_GRID_STEP}) AS BIGINT) + 1)) AS cell_y,
+      CAST(floor((minlon + cell_x * {_GRID_STEP}) * 1000000 + 0.5) AS BIGINT)
+        AS lon0_udeg,
+      CAST(floor((minlat + unnest(range(0,
+        CAST(floor((maxlat - minlat) / {_GRID_STEP}) AS BIGINT) + 1))
+          * {_GRID_STEP}) * 1000000 + 0.5) AS BIGINT) AS lat0_udeg
+    FROM gx
+    """,
+)
+def q_terrain_grid(sf_dir: str):
+    """Empty-terrain grid synthesis (EmptyTerrainBuilder.java:18-50 +
+    VectorGridXZ): global min/max aggregate over mention positions
+    drives a generated grid of cells covering the data bounds."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = datasets.mentions_ds(sf_dir)
+    b = ds.aggregate(
+        Min("lon", alias_name="minlon"), Min("lat", alias_name="minlat"),
+        Max("lon", alias_name="maxlon"), Max("lat", alias_name="maxlat"),
+    )
+    minlon, minlat = b["minlon"], b["minlat"]
+    nx = int(np.floor((b["maxlon"] - minlon) / _GRID_STEP)) + 1
+    ny = int(np.floor((b["maxlat"] - minlat) / _GRID_STEP)) + 1
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy()
+        cx = i // ny
+        cy = i % ny
+        return pa.table(
+            {
+                "cell_x": pa.array(cx),
+                "cell_y": pa.array(cy),
+                "lon0_udeg": pa.array(
+                    np.floor((minlon + cx * _GRID_STEP) * 1e6 + 0.5).astype(np.int64)
+                ),
+                "lat0_udeg": pa.array(
+                    np.floor((minlat + cy * _GRID_STEP) * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return rd.range(nx * ny).map_batches(to_cells, batch_format="pyarrow")
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

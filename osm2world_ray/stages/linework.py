@@ -1,0 +1,231 @@
+"""Per-node / per-line geometry operators: angular adjacency sort,
+equidistant point placement, seeded pseudo-random scattering.
+
+References:
+- angular sort: ``MapNode.sortLinesByAngle`` (``MapNode.java:61-83``) —
+  segments around a node in stable rotational order;
+- equidistribution: ``GeometryUtil.equallyDistributePointsAlong``
+  (``GeometryUtil.java:548-583``), single-segment variant, including
+  its sequential floating-point accumulation (replicated via running
+  sums so the oracle's windowed SUM matches bit-for-bit);
+- scattering: ``GeometryUtil.distributePointsOn``
+  (``GeometryUtil.java:718-798``) — ``java.util.Random(seed)`` LCG,
+  box slicing, 100 candidates per box, keep-if-contained. Seed = the
+  element key (``TreeModule.java:545`` uses the area's id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import synth
+
+# ---------------------------------------------------------------------------
+# node adjacency with angular sort
+# ---------------------------------------------------------------------------
+
+
+def segment_incidences(batch: pa.Table) -> pa.Table:
+    """Segment rows -> 2 incidence rows each: (url, node_idx, seg_idx,
+    dx, dy) with (dx, dy) the segment direction AT the node (matching
+    the per-node outgoing/incoming direction used by sortLinesByAngle).
+    """
+    x1 = batch["x1"].to_numpy()
+    y1 = batch["y1"].to_numpy()
+    x2 = batch["x2"].to_numpy()
+    y2 = batch["y2"].to_numpy()
+    seg = batch["seg_idx"].to_numpy()
+    n = len(batch)
+    idx = np.arange(n, dtype=np.int64)
+    take = pa.array(np.concatenate([idx, idx]))
+    return pa.table(
+        {
+            "url": batch.select(["url"]).take(take)["url"],
+            "node_idx": pa.array(np.concatenate([seg, seg + 1])),
+            "seg_idx": pa.array(np.concatenate([seg, seg])),
+            "dx": pa.array(np.concatenate([x2 - x1, x1 - x2])),
+            "dy": pa.array(np.concatenate([y2 - y1, y1 - y2])),
+        }
+    )
+
+
+def angular_adjacency(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of incidence rows -> per (url, node) ordered incident
+    segments: sorted by direction angle ``atan2(dx, dy)`` (VectorXZ
+    x-from-north convention), seg_idx tiebreak; fully vectorized."""
+    if len(group) == 0:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype=str),
+                "node_idx": pd.Series(dtype=np.int64),
+                "segs_csv": pd.Series(dtype=str),
+            }
+        )
+    url = group["url"].to_numpy()
+    node = group["node_idx"].to_numpy(dtype=np.int64)
+    seg = group["seg_idx"].to_numpy(dtype=np.int64)
+    ang = np.arctan2(group["dx"].to_numpy(), group["dy"].to_numpy())
+    doc = pd.Series(url).str.slice(len(synth.URL_PREFIX)).astype(np.int64).to_numpy()
+    order = np.lexsort((seg, ang, node, doc))
+    url, node, seg = url[order], node[order], seg[order]
+    doc = doc[order]
+    key_change = np.ones(len(doc), dtype=bool)
+    key_change[1:] = (doc[1:] != doc[:-1]) | (node[1:] != node[:-1])
+    group_id = np.cumsum(key_change) - 1
+    df = pd.DataFrame({"g": group_id, "seg": seg.astype(str)})
+    csv = df.groupby("g", sort=True)["seg"].agg(",".join)
+    firsts = np.nonzero(key_change)[0]
+    return pd.DataFrame(
+        {
+            "url": url[firsts],
+            "node_idx": node[firsts],
+            "segs_csv": csv.to_numpy(),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# equidistant points along segments
+# ---------------------------------------------------------------------------
+
+
+def equidistribute(batch: pa.Table, *, preferred_distance: float,
+                   points_at_start_and_end: bool = True) -> pa.Table:
+    """Segment rows -> equidistant points (GeometryUtil.java:548-583).
+
+    Parity notes: numSegments = Math.round(len/d) = floor(+0.5); point
+    spacing = len/numSegments along the normalized direction. One
+    deliberate deviation: points are placed by CLOSED FORM (start +
+    i * step) instead of the reference's sequential accumulation — the
+    reference itself flags accumulation as an fp-error source and
+    avoids it in the polyline variant (``GeometryUtil.java:643-648``);
+    closed form is also what a SQL oracle can reproduce bit-for-bit.
+    Outputs in micro-degrees.
+    """
+    if not points_at_start_and_end:
+        raise NotImplementedError("only the points-at-start-and-end variant")
+    x1 = batch["x1"].to_numpy()
+    y1 = batch["y1"].to_numpy()
+    x2 = batch["x2"].to_numpy()
+    y2 = batch["y2"].to_numpy()
+    dx = x1 - x2
+    dy = y1 - y2
+    length = np.sqrt(dx * dx + dy * dy)
+    nseg = np.floor(length / preferred_distance + 0.5).astype(np.int64)
+    npts = np.where(nseg == 0, 0, nseg + 1)
+    safe_len = np.where(length > 0, length, 1.0)
+    point_distance = length / np.maximum(nseg, 1)
+    ux = (x2 - x1) / safe_len * point_distance
+    uy = (y2 - y1) / safe_len * point_distance
+
+    total = int(npts.sum())
+    row_idx = np.repeat(np.arange(len(npts), dtype=np.int64), npts)
+    starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, npts)
+    px = x1[row_idx] + local * ux[row_idx]
+    py = y1[row_idx] + local * uy[row_idx]
+    return pa.table(
+        {
+            "url": batch.select(["url"]).take(pa.array(row_idx))["url"],
+            "seg_idx": batch.select(["seg_idx"]).take(pa.array(row_idx))["seg_idx"],
+            "point_idx": pa.array(local),
+            "px_udeg": pa.array(np.floor(px * 1e6 + 0.5).astype(np.int64)),
+            "py_udeg": pa.array(np.floor(py * 1e6 + 0.5).astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# java.util.Random-parity seeded scattering
+# ---------------------------------------------------------------------------
+
+_LCG_MULT = 0x5DEECE66D
+_LCG_ADD = 0xB
+_LCG_MASK = (1 << 48) - 1
+
+
+class JavaRandom:
+    """Bit-exact ``java.util.Random`` (the public 48-bit LCG)."""
+
+    def __init__(self, seed: int):
+        self.seed = (seed ^ _LCG_MULT) & _LCG_MASK
+
+    def _next(self, bits: int) -> int:
+        self.seed = (self.seed * _LCG_MULT + _LCG_ADD) & _LCG_MASK
+        return self.seed >> (48 - bits)
+
+    def next_double(self) -> float:
+        return ((self._next(26) << 27) + self._next(27)) * (2.0 ** -53)
+
+
+POINTS_PER_BOX = 100
+
+
+def distribute_points_on_rect(seed: int, min_x: float, min_z: float,
+                              max_x: float, max_z: float,
+                              density: float) -> list[tuple[float, float]]:
+    """``distributePointsOn`` for a rectangle footprint
+    (GeometryUtil.java:745-798): slice the bbox into boxes of
+    ``sqrt(100/density)``, draw 100 candidate points per box from ONE
+    ``Random(seed)`` stream (x then z), keep points inside the rect."""
+    rand = JavaRandom(seed)
+    size_x = max_x - min_x
+    size_z = max_z - min_z
+    box_size = np.sqrt(100.0 / density)
+    result = []
+    for box_z in range(int(size_z / box_size) + 1):
+        for box_x in range(int(size_x / box_size) + 1):
+            bx = min_x + box_size * box_x
+            bz = min_z + box_size * box_z
+            for _ in range(POINTS_PER_BOX):
+                x = bx + box_size * rand.next_double()
+                z = bz + box_size * rand.next_double()
+                if min_x <= x <= max_x and min_z <= z <= max_z:
+                    result.append((x, z))
+    return result
+
+
+class ScatterPoints:
+    """mentions batch -> scattered points in each mention's footprint,
+    seeded by the mention key (deterministic per row, like the forest
+    scattering seeded by area id, ``TreeModule.java:545``)."""
+
+    def __init__(self, *, density: float = 100.0 / (0.02 * 0.02)):
+        self.density = density
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        urls = batch["url"].to_pylist()
+        midx = batch["mention_idx"].to_numpy()
+        out_url, out_m, out_i, out_x, out_y = [], [], [], [], []
+        for i, u in enumerate(urls):
+            doc_id = int(u[len(synth.URL_PREFIX):])
+            seed = doc_id * 4 + int(midx[i])
+            pts = distribute_points_on_rect(
+                seed,
+                lon[i] - synth.RLON, lat[i] - synth.RLAT,
+                lon[i] + synth.RLON, lat[i] + synth.RLAT,
+                self.density,
+            )
+            for j, (x, z) in enumerate(pts):
+                out_url.append(u)
+                out_m.append(int(midx[i]))
+                out_i.append(j)
+                out_x.append(x)
+                out_y.append(z)
+        return pa.table(
+            {
+                "url": pa.array(out_url, type=pa.string()),
+                "mention_idx": pa.array(out_m, type=pa.int64()),
+                "point_idx": pa.array(out_i, type=pa.int64()),
+                "px_udeg": pa.array(
+                    np.floor(np.asarray(out_x) * 1e6 + 0.5).astype(np.int64)
+                ),
+                "py_udeg": pa.array(
+                    np.floor(np.asarray(out_y) * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )

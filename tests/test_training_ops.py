@@ -129,11 +129,37 @@ def test_brute_force_topk_kernel():
     assert list(df[df.q_id == 0]["vec_id"]) == best.tolist()
 
 
+def test_java_random_golden():
+    """Bit-exact java.util.Random parity (public LCG constants; the
+    scattering determinism contract, GeometryUtil.java:745-758)."""
+    from osm2world_ray.stages.linework import JavaRandom
+
+    r = JavaRandom(42)
+    assert [r.next_double() for _ in range(4)] == [
+        0.7275636800328681, 0.6832234717598454,
+        0.30871945533265976, 0.27707849007413665,
+    ]
+    r0 = JavaRandom(0)
+    assert [r0.next_double() for _ in range(2)] == [
+        0.730967787376657, 0.24053641567148587,
+    ]
+
+
+def test_scatter_points_inside_and_deterministic():
+    from osm2world_ray.stages.linework import distribute_points_on_rect
+
+    pts = distribute_points_on_rect(7, -1.0, 2.0, -0.96, 2.02, 100 / 0.0004)
+    assert pts == distribute_points_on_rect(7, -1.0, 2.0, -0.96, 2.02, 100 / 0.0004)
+    assert len(pts) > 0
+    assert all(-1.0 <= x <= -0.96 and 2.0 <= z <= 2.02 for x, z in pts)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries: run twice, identical result (determinism invariant)
 # ---------------------------------------------------------------------------
 
-ROWS_ONLY = ["dedup_minhash_lsh", "dedup_simhash", "lang_id", "ann_lsh_cosine"]
+ROWS_ONLY = ["dedup_minhash_lsh", "dedup_simhash", "lang_id", "ann_lsh_cosine",
+             "scatter_points"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
