@@ -1435,6 +1435,85 @@ def q_terrain_grid(sf_dir: str):
     return rd.range(nx * ny).map_batches(to_cells, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# connected components over the overlap graph (stiff-set union-find)
+# ---------------------------------------------------------------------------
+
+@register(
+    "overlap_components",
+    f"""
+    WITH RECURSIVE {synth.MENTIONS_SQL}, {_FOOTPRINTS_SQL},
+    e0 AS (
+      SELECT a.mkey AS src, b.mkey AS dst
+      FROM f a JOIN f b
+        ON a.mkey < b.mkey
+       AND a.minx <= b.maxx AND a.maxx >= b.minx
+       AND a.miny <= b.maxy AND a.maxy >= b.miny
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    walk(node, label) AS (
+      SELECT mkey, mkey FROM f
+      UNION
+      SELECT e.dst, walk.label FROM walk JOIN e ON e.src = walk.node
+    )
+    SELECT url, mention_idx, min(label) AS component
+    FROM walk JOIN f ON f.mkey = walk.node
+    GROUP BY url, mention_idx
+    """,
+)
+def q_overlap_components(sf_dir: str):
+    """Connected components of the footprint-overlap graph — the
+    distributed union-find (SimpleEleConstraintEnforcer.java:18-228
+    StiffSets) via iterative min-label propagation; component id = min
+    mention key in the component."""
+    from ..stages.components import connected_components
+
+    ds = datasets.mentions_ds(sf_dir)
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        doc = pa.compute.utf8_slice_codeunits(
+            b["url"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        return pa.table(
+            {"node": pa.array(doc * 4 + b["mention_idx"].to_numpy())}
+        )
+
+    nodes = ds.map_batches(to_nodes, batch_format="pyarrow")
+
+    pairs = q_overlap_pairs(sf_dir)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        da = pa.compute.utf8_slice_codeunits(
+            b["url_a"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        db = pa.compute.utf8_slice_codeunits(
+            b["url_b"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(da * 4 + b["mention_idx_a"].to_numpy()),
+                "dst": pa.array(db * 4 + b["mention_idx_b"].to_numpy()),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    labels = connected_components(nodes, edges)
+
+    def decode(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy()
+        doc = node // 4
+        urls = [f"{synth.URL_PREFIX}{d}" for d in doc.tolist()]
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "mention_idx": pa.array(node % 4),
+                "component": b["label"],
+            }
+        )
+
+    return labels.map_batches(decode, batch_format="pyarrow")
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
