@@ -36,6 +36,14 @@ def documents_ds(sf_dir: str, *, columns: list[str] | None = None,
     return ds.repartition(num_blocks) if num_blocks else ds
 
 
+def events_ds(sf_dir: str, *, num_blocks: int = 32):
+    """Events table (event_id, ts, user_id, event_type, value, props)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return ds.repartition(num_blocks) if num_blocks else ds
+
+
 def embeddings_ds(sf_dir: str, *, num_blocks: int = 32):
     """Embeddings table (vec_id, embedding: list<float>, label)."""
     import ray.data as rd

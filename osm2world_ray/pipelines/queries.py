@@ -1514,6 +1514,112 @@ def q_overlap_components(sf_dir: str):
     return labels.map_batches(decode, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# event-time windows (tumbling aggregate, sessionization, as-of join)
+# ---------------------------------------------------------------------------
+
+def _events_bucketed(sf_dir: str):
+    from ..stages import overlaps
+
+    ds = datasets.events_ds(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64())
+        return (
+            b.append_column("ts_us", ts_us)
+            .append_column(
+                "bucket", pa.array(overlaps.bucket_of(b["user_id"].to_numpy()))
+            )
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+@register(
+    "events_tumbling",
+    """
+    SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS win, event_type,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 5-minute windowed aggregate per event type: per-batch
+    partial (pyarrow group_by) + bounded-bucket combine — the windowed
+    form of the StatisticsOutput rollup."""
+    from ..stages.windows import tumbling_combine, tumbling_partial
+
+    ds = datasets.events_ds(sf_dir)
+    ds = ds.map_batches(tumbling_partial, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        tumbling_combine, batch_format="pandas"
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_t
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    sess AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT event_id, user_id,
+           first_value(event_id) OVER (PARTITION BY user_id, sid
+                                       ORDER BY t, event_id) AS session_id
+    FROM sess
+    """,
+)
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-minute inactivity break) per user:
+    hash-bucket shuffle on user, vectorized segmented scan per bucket;
+    session id = the session's first event id."""
+    from ..stages.windows import sessionize
+
+    return _events_bucketed(sf_dir).groupby("bucket").map_groups(
+        sessionize, batch_format="pandas"
+    )
+
+
+@register(
+    "events_asof",
+    """
+    SELECT event_id, user_id, asof_event_id FROM (
+      SELECT c.event_id, c.user_id, e.event_id AS asof_event_id,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY epoch_us(e.ts) DESC,
+                                         e.event_id DESC) AS rn
+      FROM events c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'error'
+       AND epoch_us(e.ts) < epoch_us(c.ts)
+      WHERE c.event_type = 'click'
+    ) WHERE rn = 1
+    """,
+)
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each click matched to the same user's most
+    recent strictly-earlier error (composite-key searchsorted per
+    bucket — the custom-operator recipe for as-of/range joins; the
+    partitioning assumption is user co-location via the bucket key)."""
+    from ..stages.windows import asof_join
+
+    return _events_bucketed(sf_dir).groupby("bucket").map_groups(
+        asof_join, batch_format="pandas"
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -1,0 +1,134 @@
+"""Time-window operators over the events stream: tumbling aggregates,
+gap sessionization, as-of join.
+
+The reference's only streaming surface is the param-file work queue
+(``ParamsCommand.java:95-175``) — independent work items, no event
+time. These operators add the event-time family a training-data
+pipeline needs, built on the same two disciplines as every wide step
+here: per-batch partial aggregation before the shuffle, and bounded
+bucket keys (hash of the entity) so group count never tracks key
+cardinality. Within a bucket everything is a vectorized sort +
+segmented scan; the per-user ordering assumption is the partitioning
+contract (same-user rows co-locate via the bucket key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .overlaps import bucket_of
+
+WINDOW_US = 5 * 60 * 1_000_000  # tumbling window: 5 minutes
+SESSION_GAP_US = 30 * 60 * 1_000_000  # session break gap: 30 minutes
+
+
+def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
+    return batch[col].cast(pa.int64()).to_numpy()
+
+
+def tumbling_partial(batch: pa.Table) -> pa.Table:
+    """events batch -> partial per (window, event_type):
+    n, sum_value_cents (integer cents keep the oracle float-free)."""
+    win = _ts_us(batch) // WINDOW_US
+    etype = batch["event_type"]
+    cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    t = pa.table({"win": pa.array(win), "event_type": etype,
+                  "cents": pa.array(cents)})
+    g = t.group_by(["win", "event_type"]).aggregate(
+        [("cents", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "win": g["win"],
+            "event_type": g["event_type"],
+            "sum_cents": g["cents_sum"].cast(pa.int64()),
+            "n": g["count_all"].cast(pa.int64()),
+            "bucket": pa.array(bucket_of(g["win"].to_numpy())),
+        }
+    )
+
+
+def tumbling_combine(group: pd.DataFrame) -> pd.DataFrame:
+    out = group.groupby(["win", "event_type"], as_index=False, sort=False).agg(
+        sum_cents=("sum_cents", "sum"), n=("n", "sum")
+    )
+    return out.astype({"win": np.int64, "sum_cents": np.int64, "n": np.int64})
+
+
+def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of users -> per-event session ids: a session breaks when
+    the gap to the user's previous event exceeds SESSION_GAP_US;
+    session_id = the session's first event_id. Vectorized segmented
+    scan over (user, ts)-sorted rows."""
+    if len(group) == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "session_id": pd.Series(dtype=np.int64),
+            }
+        )
+    user = group["user_id"].to_numpy(dtype=np.int64)
+    ts = group["ts_us"].to_numpy(dtype=np.int64)
+    eid = group["event_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((eid, ts, user))
+    user, ts, eid = user[order], ts[order], eid[order]
+    new_session = np.ones(len(user), dtype=bool)
+    new_session[1:] = (user[1:] != user[:-1]) | (
+        ts[1:] - ts[:-1] > SESSION_GAP_US
+    )
+    starts = np.nonzero(new_session)[0]
+    lens = np.diff(np.concatenate((starts, [len(user)])))
+    session_id = np.repeat(eid[starts], lens)
+    return pd.DataFrame(
+        {"event_id": eid, "user_id": user, "session_id": session_id}
+    )
+
+
+def asof_join(group: pd.DataFrame, *, left_type: str = "click",
+              right_type: str = "error") -> pd.DataFrame:
+    """Bucket of users -> for each ``left_type`` event, the most recent
+    strictly-earlier ``right_type`` event of the SAME user (as-of
+    backward join; ties on ts broken by max event_id). Vectorized via
+    per-user searchsorted on a combined (ts, event_id) rank."""
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "asof_event_id": pd.Series(dtype=np.int64),
+        }
+    )
+    if len(group) == 0:
+        return empty
+    etype = group["event_type"].to_numpy()
+    left = group[etype == left_type]
+    right = group[etype == right_type]
+    if len(left) == 0:
+        return empty
+    lu = left["user_id"].to_numpy(dtype=np.int64)
+    lt = left["ts_us"].to_numpy(dtype=np.int64)
+    le = left["event_id"].to_numpy(dtype=np.int64)
+    ru = right["user_id"].to_numpy(dtype=np.int64)
+    rt = right["ts_us"].to_numpy(dtype=np.int64)
+    re_ = right["event_id"].to_numpy(dtype=np.int64)
+    r_order = np.lexsort((re_, rt, ru))
+    ru, rt, re_ = ru[r_order], rt[r_order], re_[r_order]
+    # strictly-earlier probe, vectorized: one searchsorted over a
+    # (user, ts) composite key (ts offset to keep the product in int64)
+    ts0 = min(int(rt.min()), int(lt.min()))
+    span = max(int(rt.max()), int(lt.max())) - ts0 + 2
+    assert int(max(ru.max(), lu.max())) < (1 << 62) // span, "composite overflow"
+    c_right = ru * span + (rt - ts0)
+    c_left = lu * span + (lt - ts0)
+    idx = np.searchsorted(c_right, c_left, side="left") - 1
+    found = (idx >= 0) & (ru[np.maximum(idx, 0)] == lu)
+    idx = idx[found]
+    return pd.DataFrame(
+        {
+            "event_id": le[found],
+            "user_id": lu[found],
+            "asof_event_id": re_[idx],
+        }
+    )
