@@ -1514,6 +1514,52 @@ def q_overlap_components(sf_dir: str):
     return labels.map_batches(decode, batch_format="pyarrow")
 
 
+@register(
+    "overlap_pairs_salted",
+    f"""
+    WITH {synth.MENTIONS_SQL}, {_FOOTPRINTS_SQL}
+    SELECT a.url AS url_a, a.mention_idx AS mention_idx_a,
+           b.url AS url_b, b.mention_idx AS mention_idx_b
+    FROM f a JOIN f b
+      ON a.mkey < b.mkey
+     AND a.minx <= b.maxx AND a.maxx >= b.minx
+     AND a.miny <= b.maxy AND a.maxy >= b.miny
+    """,
+)
+def q_overlap_pairs_salted(sf_dir: str):
+    """overlap_pairs with skew-aware hot-cell salting (SURVEY §4):
+    a count pre-pass finds dense cells, whose assignments are refined
+    two resolutions finer before the shuffle — dense-urban-cell O(n^2)
+    work splits across 16 sub-keys. Output must be IDENTICAL to the
+    unsalted join (same oracle): the ownership rule is resolution-aware
+    per row."""
+    import ray
+
+    from ..stages import overlaps
+
+    ds = datasets.mentions_ds(sf_dir)
+    # threshold sized so the clustered cells refine at test scales; at
+    # production scale tie it to the per-task pairwise budget (rows
+    # whose n^2 exceeds the time budget of one shuffle task)
+    hot = tile_assign.hot_cells_of(ds, r=5, threshold=50)
+    hot_ref = ray.put(hot)
+
+    def fan(b: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        out = tile_assign.fan_out_cells_salted(b, h, r=5, r_hot=7)
+        return out.append_column(
+            "bucket", pa.array(overlaps.bucket_of(out["cell"].to_numpy()))
+        )
+
+    ds = datasets.mentions_ds(sf_dir)
+    ds = ds.map_batches(fan, batch_format="pyarrow").select_columns(
+        ["url", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy", "bucket"]
+    )
+    return ds.groupby("bucket").map_groups(
+        overlaps.pairwise_bbox_pairs, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time windows (tumbling aggregate, sessionization, as-of join)
 # ---------------------------------------------------------------------------

@@ -150,3 +150,88 @@ def fan_out_cells(batch: pa.Table, *, r: int = 5,
         .append_column("cell_ix", pa.array(ix))
         .append_column("cell_iy", pa.array(iy))
     )
+
+
+def fan_out_cells_salted(batch: pa.Table, hot_cells: np.ndarray, *,
+                         r: int = 5, r_hot: int = 7,
+                         rlat: float = synth.RLAT,
+                         rlon: float = synth.RLON) -> pa.Table:
+    """Skew-aware straddle fan-out: assignments landing in a HOT cell
+    (from a broadcast hot set, found by a cheap count pre-pass) are
+    refined to resolution ``r_hot`` sub-cells; everything else keeps
+    resolution ``r``.
+
+    The dense-urban-tile treatment from SURVEY §4: a hot cell's O(n^2)
+    pairwise work splits across its 4^(r_hot-r) children, each a
+    separate shuffle key. Correctness invariant: the refined cells form
+    a PARTITION of the plane (hot parents are wholly replaced by their
+    children; children of non-hot parents are filtered out), and the
+    pairwise kernels' corner-ownership rule evaluates at each row's own
+    resolution (packed into the cell id) — so every pair is still
+    emitted exactly once, by the unique partition cell containing its
+    ownership point.
+    """
+    import pandas as pd
+
+    base = fan_out_cells(batch, r=r, rlat=rlat, rlon=rlon)
+    if len(hot_cells) == 0:
+        return base
+    hot_cells = np.asarray(hot_cells, dtype=np.int64)
+    in_hot = np.isin(base["cell"].to_numpy(), hot_cells)
+    cold = base.filter(pa.array(~in_hot))
+    hot_rows_idx = np.nonzero(in_hot)[0]
+    if len(hot_rows_idx) == 0:
+        return cold
+    # refine: re-fan the hot rows' footprints at r_hot, keeping only
+    # children whose parent cell is hot. A footprint spanning k hot
+    # parents appears k times in `base`; dedup source rows first so its
+    # child fan-out is emitted once.
+    hot_src = base.take(pa.array(hot_rows_idx)).drop(
+        ["cell", "cell_ix", "cell_iy"]
+    )
+    seen = pd.util.hash_pandas_object(
+        hot_src.to_pandas(), index=False
+    ).to_numpy()
+    _, first_idx = np.unique(seen, return_index=True)
+    hot_src = hot_src.take(pa.array(np.sort(first_idx)))
+    fine = fan_out_cells(hot_src, r=r_hot, rlat=rlat, rlon=rlon)
+    shift = r_hot - r
+    parent = (
+        (np.int64(r) << 58)
+        | ((fine["cell_ix"].to_numpy() >> shift) << 29)
+        | (fine["cell_iy"].to_numpy() >> shift)
+    )
+    fine = fine.filter(pa.array(np.isin(parent, hot_cells)))
+    return pa.concat_tables([cold, fine])
+
+
+def hot_cells_of(ds, *, r: int = 5, threshold: int,
+                 rlat: float = synth.RLAT, rlon: float = synth.RLON
+                 ) -> np.ndarray:
+    """Count pre-pass: cells whose assignment count exceeds
+    ``threshold``. Per-batch partial counts tree-reduce down to a
+    single combine; the hot set is bounded by (total rows / threshold),
+    so the driver-held result stays small no matter the data size."""
+    import pyarrow.compute as pc
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        fanned = fan_out_cells(b, r=r, rlat=rlat, rlon=rlon)
+        u, c = np.unique(fanned["cell"].to_numpy(), return_counts=True)
+        return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("cell").aggregate([("n", "sum")])
+        return pa.table({"cell": g["cell"], "n": g["n_sum"]})
+
+    refs = parts.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    tables = list(ray.get(refs))
+    if not tables:
+        return np.empty(0, dtype=np.int64)
+    t = pa.concat_tables(tables)
+    mask = pc.greater(t["n"], threshold)
+    return t.filter(mask)["cell"].to_numpy().astype(np.int64)
