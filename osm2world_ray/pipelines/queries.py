@@ -853,6 +853,39 @@ def q_knn_brute_cosine(sf_dir: str):
     )
 
 
+@register("ann_ivf_cosine")  # approximate -> rows-only check
+def q_ann_ivf_cosine(sf_dir: str):
+    """IVF-style approximate cosine top-5: distributed per-label
+    centroid computation (combiner + tree merge), broadcast coarse
+    quantizer, candidates pruned to each query's nprobe nearest
+    cells."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.ann import IVFTopK, label_centroids, topk_finalize
+
+    con = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries_tbl = con.filter(
+        pa.compute.less(con["vec_id"], _N_ANN_QUERIES)
+    ).select(["vec_id", "embedding"])
+    q_ref = ray.put(queries_tbl)
+
+    cents = label_centroids(datasets.embeddings_ds(sf_dir))
+    c_ref = ray.put(cents)
+
+    ds = datasets.embeddings_ds(sf_dir)
+    ds = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={"queries_ref": q_ref, "centroids_ref": c_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+    return ds.repartition(1).map_batches(
+        topk_finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
 @register("ann_lsh_cosine")  # approximate -> rows-only check
 def q_ann_lsh_cosine(sf_dir: str):
     """LSH-bucketed approximate cosine top-5 (random-hyperplane

@@ -138,6 +138,113 @@ def _buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     )
 
 
+class IVFTopK:
+    """IVF-style approximate top-k: candidates pruned to the
+    ``nprobe`` coarse cells nearest each query.
+
+    The coarse quantizer here is the per-label mean embedding
+    (centroids computed DISTRIBUTED by the caller: per-batch partial
+    sums -> tree combine -> tiny centroid table, then broadcast). Each
+    data batch assigns its rows to their nearest centroid and scores
+    only rows whose cell is in a query's probe list — candidate
+    pruning as a map, like the LSH variant; at persisted-index scale
+    the cell id becomes the partition key of a bucketed index layout.
+    """
+
+    def __init__(self, queries_ref, centroids_ref, *, k: int = K,
+                 nprobe: int = 4):
+        q = _resolve(queries_ref)
+        self.q_ids = q["vec_id"].to_numpy()
+        self.Q = _normalize(_embedding_matrix(q))
+        cents = _resolve(centroids_ref)  # (n_cells, d) float64
+        self.cents = _normalize(cents)
+        # probe list per query: nprobe nearest centroids by cosine
+        sims = self.Q @ self.cents.T
+        self.probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy()
+        emb = _normalize(_embedding_matrix(batch))
+        cell = np.argmax(emb @ self.cents.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for qi, q_id in enumerate(self.q_ids):
+            mask = np.isin(cell, self.probes[qi]) & (vec_ids != q_id)
+            if not mask.any():
+                continue
+            v = vec_ids[mask]
+            sv = emb[mask] @ self.Q[qi]
+            order = np.lexsort((v, -sv))[: self.k]
+            out_q.append(np.full(len(order), q_id, dtype=np.int64))
+            out_v.append(v[order])
+            out_c.append(sv[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "q_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+
+def label_centroids(ds) -> np.ndarray:
+    """Distributed per-label mean embedding: per-batch partial
+    (label -> sum, count), tree combine of the tiny partials, final
+    division — the standard combiner path for a bounded key space."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(b)
+        lab = b["label"].to_numpy().astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), emb.shape[1]))
+        np.add.at(sums, inv, emb)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(u),
+                "n": pa.array(counts),
+                "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+            }
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy().astype(np.int64)
+        n = b["n"].to_numpy().astype(np.int64)
+        sums = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in b["sum"].to_pylist()]
+        )
+        u, inv = np.unique(lab, return_inverse=True)
+        out_s = np.zeros((len(u), sums.shape[1]))
+        np.add.at(out_s, inv, sums)
+        out_n = np.zeros(len(u), dtype=np.int64)
+        np.add.at(out_n, inv, n)
+        return pa.table(
+            {
+                "label": pa.array(u),
+                "n": pa.array(out_n),
+                "sum": pa.array(list(out_s), type=pa.list_(pa.float64())),
+            }
+        )
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    final = final.sort_values("label")
+    sums = np.stack([np.asarray(x) for x in final["sum"]])
+    return sums / final["n"].to_numpy()[:, None]
+
+
 class LSHBucketTopK:
     """Approximate cosine top-k: only same-LSH-bucket candidates scored.
 

@@ -159,7 +159,25 @@ def test_scatter_points_inside_and_deterministic():
 # ---------------------------------------------------------------------------
 
 ROWS_ONLY = ["dedup_minhash_lsh", "dedup_simhash", "lang_id", "ann_lsh_cosine",
-             "scatter_points"]
+             "ann_ivf_cosine", "scatter_points"]
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    """IVF with label-derived centroids should recover most of the
+    exact top-5 (labels ARE the cluster structure of the synth data)."""
+    from osm2world_ray.pipelines.queries import all_queries
+
+    qs = all_queries()
+    exact = qs["knn_brute_cosine"](SF).to_pandas()
+    approx = qs["ann_ivf_cosine"](SF).to_pandas()
+    e = set(zip(exact["q_id"], exact["vec_id"]))
+    a = set(zip(approx["q_id"], approx["vec_id"]))
+    recall = len(e & a) / len(e)
+    # the synthetic labels are only weakly correlated with cosine
+    # neighborhoods (intra-label cos ~0.02), so nprobe=4 of 10 cells
+    # bounds achievable recall; assert it beats the random-pruning
+    # baseline (~0.4) rather than a structured-data bar
+    assert recall >= 0.4, recall
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
