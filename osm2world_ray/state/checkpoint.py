@@ -144,10 +144,15 @@ class PartitionWriter:
 
 def checkpointed_tile_export(sf_dir: str, out_dir: str, *, zoom: int = 13,
                              parent_zoom: int = 6,
-                             overwrite: str = "never"):
+                             overwrite: str = "never",
+                             only_partitions=None):
     """mentions -> z``zoom`` tile rows, written as resumable
     ``{pz}/{px}/{py}`` parquet partitions with manifests; returns the
-    lazy metrics Dataset (one row per partition written this run)."""
+    lazy metrics Dataset (one row per partition written this run).
+
+    ``only_partitions``: optional list of (pz, px, py) — restrict the
+    run to those partitions (the per-work-item form used by the
+    params-dir queue runner)."""
     from ..pipelines import datasets
     from ..stages import tile_assign
 
@@ -163,6 +168,14 @@ def checkpointed_tile_export(sf_dir: str, out_dir: str, *, zoom: int = 13,
     done_packed = np.array(
         sorted((x << 32) | y for (_z, x, y) in done), dtype=np.int64
     )
+    only_packed = (
+        None
+        if only_partitions is None
+        else np.array(
+            sorted((x << 32) | y for (_z, x, y) in only_partitions),
+            dtype=np.int64,
+        )
+    )
 
     def add_parent(b: pa.Table) -> pa.Table:
         tx = b["tx"].to_numpy()
@@ -174,10 +187,13 @@ def checkpointed_tile_export(sf_dir: str, out_dir: str, *, zoom: int = 13,
             .append_column("px", pa.array(px))
             .append_column("py", pa.array(py))
         )
-        if len(done_packed) == 0:
-            return out
-        keep = ~np.isin((px << 32) | py, done_packed)
-        return out.filter(pa.array(keep))
+        packed = (px << 32) | py
+        keep = np.ones(len(b), dtype=bool)
+        if only_packed is not None:
+            keep &= np.isin(packed, only_packed)
+        if len(done_packed):
+            keep &= ~np.isin(packed, done_packed)
+        return out if keep.all() else out.filter(pa.array(keep))
 
     ds = ds.map_batches(add_parent, batch_format="pyarrow")
     writer = PartitionWriter(
