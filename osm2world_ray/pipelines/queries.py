@@ -1593,6 +1593,79 @@ def q_overlap_pairs_salted(sf_dir: str):
     )
 
 
+def _triangulation_expected_sql() -> str:
+    """VALUES of (boundary_id, n_triangles, net_area_e6) from the
+    boundary specs' CLOSED-FORM areas — independent of the earcut
+    implementation under test."""
+    from ..sources.boundaries import BOUNDARY_SPECS, Diamond, Rect
+
+    rows = []
+    for bid, _name, _kind, shape in BOUNDARY_SPECS:
+        if isinstance(shape, Rect):
+            area = (shape.maxlat - shape.minlat) * (shape.maxlon - shape.minlon)
+            ntri = 2
+            for h in shape.holes:
+                area -= (h.maxlat - h.minlat) * (h.maxlon - h.minlon)
+                ntri += 2
+        elif isinstance(shape, Diamond):
+            area = 2.0 * shape.r * shape.r
+            ntri = 2
+        else:  # pragma: no cover
+            raise TypeError(shape)
+        rows.append(f"({bid}, {ntri}, {int(np.floor(area * 1e6 + 0.5))})")
+    return ", ".join(rows)
+
+
+def q_triangulate_boundaries(sf_dir: str):
+    """Ear-clipping triangulation of the boundary polygons
+    (TriangulationUtil.java:22-91 / earcut4j semantics): WKB decode ->
+    per-ring earcut -> triangle count + net area (outer minus holes).
+    The oracle hardcodes closed-form areas from the shape specs, so it
+    checks the triangulation rather than re-deriving it."""
+    import ray.data as rd
+
+    from ..geo import wkb as wkb_mod
+    from ..geo.triangulate import earcut, triangle_areas
+    from ..sources.boundaries import boundaries_table
+
+    ds = rd.from_arrow(boundaries_table())
+
+    def tri(b: pa.Table) -> pa.Table:
+        ids, ntris, areas = [], [], []
+        for bid, blob in zip(b["boundary_id"].to_pylist(), b["wkb"].to_pylist()):
+            polys = wkb_mod.decode(blob)
+            n = 0
+            net = 0.0
+            for rings in polys:
+                for ri, ring in enumerate(rings):
+                    ring = np.asarray(ring)
+                    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+                        ring = ring[:-1]  # WKB closing duplicate
+                    t = earcut(np.asarray(ring))
+                    a = float(triangle_areas(np.asarray(ring), t).sum())
+                    n += len(t)
+                    net += a if ri == 0 else -a
+            ids.append(bid)
+            ntris.append(n)
+            areas.append(int(np.floor(net * 1e6 + 0.5)))
+        return pa.table(
+            {
+                "boundary_id": pa.array(ids, type=pa.int64()),
+                "n_triangles": pa.array(ntris, type=pa.int64()),
+                "net_area_e6": pa.array(areas, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tri, batch_format="pyarrow")
+
+
+QUERIES["triangulate_boundaries"] = q_triangulate_boundaries
+ORACLES["triangulate_boundaries"] = f"""
+    SELECT * FROM (VALUES {_triangulation_expected_sql()})
+      t(boundary_id, n_triangles, net_area_e6)
+    """
+
+
 # ---------------------------------------------------------------------------
 # event-time windows (tumbling aggregate, sessionization, as-of join)
 # ---------------------------------------------------------------------------
