@@ -1593,6 +1593,88 @@ def q_overlap_pairs_salted(sf_dir: str):
     )
 
 
+# expected per TAG_VARIANTS index, hand-derived from the reference's
+# HardcodedRuleset / TagSet / area-classification semantics (NOT
+# computed by the code under test): (is_area, is_land, is_sea,
+# is_relevant_relation, tag_error)
+_TAG_EXPECT = [
+    (1, 1, 0, 0, 0),  # natural=water
+    (1, 0, 0, 0, 0),  # building=yes
+    (0, 0, 0, 0, 0),  # highway=residential
+    (1, 1, 0, 0, 0),  # landuse=forest
+    (0, 0, 0, 0, 0),  # area=no override on leisure=pitch
+    (0, 0, 1, 0, 0),  # route=ferry + maritime=yes
+    (1, 1, 0, 1, 0),  # multipolygon with natural=water
+    (0, 0, 0, 0, 1),  # duplicate key -> TagSet rejection
+]
+
+
+def _tag_case(col: int) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN {v[col]}" for i, v in enumerate(_TAG_EXPECT)
+    )
+    return f"CASE {synth.sql_tag_variant()} {arms} END"
+
+
+@register(
+    "classify_tags",
+    f"""
+    WITH {synth.MENTIONS_SQL}
+    SELECT url, mention_idx,
+           {_tag_case(0)} AS is_area,
+           {_tag_case(1)} AS is_land,
+           {_tag_case(2)} AS is_sea,
+           {_tag_case(3)} AS is_relevant_relation,
+           {_tag_case(4)} AS tag_error
+    FROM mentions
+    """,
+)
+def q_classify_tags(sf_dir: str):
+    """TagSet parsing + HardcodedRuleset classification per mention:
+    tags parsed out of the HTML (unique-key validation,
+    TagSet.java:30-36 -> error flag instead of a throw), then the
+    constant-lookup-set predicates isAreaTag/isLandTag/isSeaTag
+    (HardcodedRuleset.java:89-104), the area-vs-way rule
+    (OSMToMapDataConverter.java:240-261) and isRelevantRelation
+    (HardcodedRuleset.java:113-133). The oracle hardcodes hand-derived
+    expectations per tag variant."""
+    from ..functions import tags as T
+
+    ds = datasets.mentions_ds(sf_dir)
+
+    def classify(b: pa.Table) -> pa.Table:
+        tag_strs = b["tags"].to_pylist()
+        is_area, is_land, is_sea, is_rel, err = [], [], [], [], []
+        for s in tag_strs:
+            try:
+                tags = T.parse_tags(s)
+            except T.DuplicateKeyError:
+                is_area.append(0)
+                is_land.append(0)
+                is_sea.append(0)
+                is_rel.append(0)
+                err.append(1)
+                continue
+            is_area.append(int(T.classify_area(tags)))
+            is_land.append(int(any(T.is_land_tag(t) for t in tags)))
+            is_sea.append(int(any(T.is_sea_tag(t) for t in tags)))
+            is_rel.append(int(T.is_relevant_relation(tags)))
+            err.append(0)
+        return pa.table(
+            {
+                "url": b["url"],
+                "mention_idx": b["mention_idx"],
+                "is_area": pa.array(is_area, type=pa.int64()),
+                "is_land": pa.array(is_land, type=pa.int64()),
+                "is_sea": pa.array(is_sea, type=pa.int64()),
+                "is_relevant_relation": pa.array(is_rel, type=pa.int64()),
+                "tag_error": pa.array(err, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
 def _triangulation_expected_sql() -> str:
     """VALUES of (boundary_id, n_triangles, net_area_e6) from the
     boundary specs' CLOSED-FORM areas — independent of the earcut

@@ -38,6 +38,7 @@ def synth_pages(batch: pa.Table) -> pa.Table:
     j = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
     lat, lon = synth.mention_latlon(rep_doc, j)
     kind = synth.mention_kind(rep_doc, j)
+    tagv = synth.mention_tag_variant(rep_doc, j)
 
     htmls: list[bytes] = []
     pos = 0
@@ -46,7 +47,8 @@ def synth_pages(batch: pa.Table) -> pa.Table:
         for _ in range(int(n[i])):
             spans.append(
                 f'<span class="geo" data-kind="{kind[pos]}" '
-                f'data-lat="{lat[pos]!r}" data-lon="{lon[pos]!r}"></span>'
+                f'data-lat="{lat[pos]!r}" data-lon="{lon[pos]!r}" '
+                f'data-tags="{synth.TAG_VARIANTS[tagv[pos]]}"></span>'
             )
             pos += 1
         html = (

@@ -95,6 +95,31 @@ def mention_kind(doc_id: np.ndarray, j: np.ndarray) -> np.ndarray:
     return (np.asarray(doc_id, dtype=np.int64) * 3 + np.asarray(j, dtype=np.int64)) % 4
 
 
+#: OSM-style tag strings per mention (HardcodedRuleset / TagSet
+#: exercise); variant index = (doc_id*7 + j*5) % 8. Variant 7 carries a
+#: duplicate key (TagSet.java:30-36 rejection path).
+TAG_VARIANTS: list[str] = [
+    "natural=water;name=lake",
+    "building=yes;height=2 m",
+    "highway=residential;maxspeed=50",
+    "landuse=forest",
+    "area=no;leisure=pitch",
+    "route=ferry;maritime=yes",
+    "type=multipolygon;natural=water",
+    "surface=paved;surface=asphalt",
+]
+
+
+def mention_tag_variant(doc_id: np.ndarray, j: np.ndarray) -> np.ndarray:
+    return (
+        np.asarray(doc_id, dtype=np.int64) * 7 + np.asarray(j, dtype=np.int64) * 5
+    ) % len(TAG_VARIANTS)
+
+
+def sql_tag_variant(doc_expr: str = "doc_id", j_expr: str = "mention_idx") -> str:
+    return f"(({doc_expr}) * 7 + ({j_expr}) * 5) % {len(TAG_VARIANTS)}"
+
+
 # ---------------------------------------------------------------------------
 # SQL fragments (DuckDB oracle side of the same formulas)
 # ---------------------------------------------------------------------------

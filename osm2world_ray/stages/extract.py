@@ -22,7 +22,8 @@ import pyarrow as pa
 
 _ARTICLE = re.compile(rb"<article>(.*?)</article>", re.S)
 _GEO_SPAN = re.compile(
-    rb'<span class="geo" data-kind="(\d+)" data-lat="([^"]+)" data-lon="([^"]+)"></span>'
+    rb'<span class="geo" data-kind="(\d+)" data-lat="([^"]+)" data-lon="([^"]+)"'
+    rb'(?: data-tags="([^"]*)")?></span>'
 )
 
 
@@ -76,6 +77,7 @@ class MentionExtractor:
         out_lon: list[float] = []
         out_kind: list[int] = []
         out_lang: list[str] = []
+        out_tags: list[str] = []
         for u, h, lg in zip(urls, htmls, langs):
             for idx, m in enumerate(self.span.finditer(h)):
                 out_url.append(u)
@@ -84,6 +86,8 @@ class MentionExtractor:
                 out_lat.append(float(m.group(2)))
                 out_lon.append(float(m.group(3)))
                 out_lang.append(lg)
+                t = m.group(4)
+                out_tags.append("" if t is None else t.decode("utf-8"))
         return pa.table(
             {
                 "url": pa.array(out_url, type=pa.string()),
@@ -92,6 +96,7 @@ class MentionExtractor:
                 "lon": pa.array(np.asarray(out_lon, dtype=np.float64)),
                 "kind": pa.array(out_kind, type=pa.int64()),
                 "lang": pa.array(out_lang, type=pa.string()),
+                "tags": pa.array(out_tags, type=pa.string()),
             }
         )
 
