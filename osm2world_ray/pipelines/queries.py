@@ -1593,6 +1593,60 @@ def q_overlap_pairs_salted(sf_dir: str):
     )
 
 
+_REFS_SQL = f"""
+refs AS (
+  SELECT doc_id, '{synth.URL_PREFIX}' || doc_id AS url,
+         unnest(range(0, (doc_id % 3) + 1)) AS ref
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '{synth.URL_PREFIX}' || doc_id AS url, 3 AS ref
+  FROM documents WHERE doc_id % 23 = 0
+),
+bad AS (SELECT DISTINCT doc_id FROM refs WHERE ref > (doc_id % 3))
+"""
+
+
+@register(
+    "resolve_ways",
+    f"""
+    WITH {synth.MENTIONS_SQL}, {_REFS_SQL}
+    SELECT r.url, r.ref AS ref_idx,
+           CAST(floor(m.lat * 1000000 + 0.5) AS BIGINT) AS lat_udeg,
+           CAST(floor(m.lon * 1000000 + 0.5) AS BIGINT) AS lon_udeg
+    FROM refs r
+    JOIN mentions m ON m.doc_id = r.doc_id AND m.mention_idx = r.ref
+    WHERE r.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_resolve_ways(sf_dir: str):
+    """Way node-ref resolution hash join
+    (OSMToMapDataConverter.java:172-179,400-412): refs and nodes
+    co-grouped by a bounded doc-hash bucket, vectorized merge; a way
+    with ANY unresolved ref is skipped entirely
+    (EntityNotFoundException semantics)."""
+    from ..stages.resolve import resolve_ways
+
+    return resolve_ways(sf_dir)
+
+
+@register(
+    "resolve_way_errors",
+    f"""
+    WITH {_REFS_SQL}
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           'missing node ref 3' AS error
+    FROM bad
+    """,
+)
+def q_resolve_way_errors(sf_dir: str):
+    """The error-row side of the resolution join: one logged row per
+    skipped way (the reference logs the EntityNotFoundException and
+    continues, OSMToMapDataConverter.java:296-302)."""
+    from ..stages.resolve import resolve_way_errors
+
+    return resolve_way_errors(sf_dir)
+
+
 # expected per TAG_VARIANTS index, hand-derived from the reference's
 # HardcodedRuleset / TagSet / area-classification semantics (NOT
 # computed by the code under test): (is_area, is_land, is_sea,
