@@ -1593,6 +1593,41 @@ def q_overlap_pairs_salted(sf_dir: str):
     )
 
 
+@register(
+    "dataset_center",
+    f"""
+    WITH {synth.MENTIONS_SQL}
+    SELECT CAST(floor(avg(lat) * 1000000 + 0.5) AS BIGINT) AS clat_udeg,
+           CAST(floor(avg(lon) * 1000000 + 0.5) AS BIGINT) AS clon_udeg,
+           count(*) AS n
+    FROM mentions
+    """,
+)
+def q_dataset_center(sf_dir: str):
+    """Dataset center: mean mention position (MapData.getCenter,
+    MapData.java:171-184) + the data-boundary aggregate family
+    (MapData.java:53-79) as one global Mean/Count aggregate."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = datasets.mentions_ds(sf_dir)
+    res = ds.aggregate(
+        Mean("lat", alias_name="clat"),
+        Mean("lon", alias_name="clon"),
+        Count(alias_name="n"),
+    )
+    return pa.table(
+        {
+            "clat_udeg": pa.array(
+                [int(np.floor(res["clat"] * 1e6 + 0.5))], type=pa.int64()
+            ),
+            "clon_udeg": pa.array(
+                [int(np.floor(res["clon"] * 1e6 + 0.5))], type=pa.int64()
+            ),
+            "n": pa.array([int(res["n"])], type=pa.int64()),
+        }
+    )
+
+
 _REFS_SQL = f"""
 refs AS (
   SELECT doc_id, '{synth.URL_PREFIX}' || doc_id AS url,
