@@ -108,6 +108,9 @@ def line_cells(r: int, x1, y1, x2, y2):
     x2 = np.asarray(x2, dtype=np.float64)
     y2 = np.asarray(y2, dtype=np.float64)
     n = len(x1)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
     scale = np.float64(1 << r)
     fx1 = (x1 + 180.0) * scale
     fx2 = (x2 + 180.0) * scale

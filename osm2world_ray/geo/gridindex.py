@@ -50,6 +50,12 @@ class GridIndex:
         self.dy = max((y1 - self.y0) / self.ny, 1e-300)
 
         # insert each entry into all covered cells (IndexGrid.java:154-171)
+        if self.n == 0:
+            self._cell_sorted = np.empty(0, dtype=np.int64)
+            self._entry_sorted = np.empty(0, dtype=np.int64)
+            self._offsets = np.zeros(self.nx * self.ny + 1, dtype=np.int64)
+            self._bbox = (minx, miny, maxx, maxy)
+            return
         cx0 = self._cell_x(minx)
         cx1 = self._cell_x(maxx)
         cy0 = self._cell_y(miny)

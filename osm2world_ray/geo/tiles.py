@@ -169,6 +169,9 @@ def fan_out_tile_range(tx0, ty0, tx1, ty1):
     ty0 = np.asarray(ty0, dtype=np.int64)
     tx1 = np.asarray(tx1, dtype=np.int64)
     ty1 = np.asarray(ty1, dtype=np.int64)
+    if len(tx0) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
     nx = tx1 - tx0 + 1
     ny = ty1 - ty0 + 1
     counts = nx * ny

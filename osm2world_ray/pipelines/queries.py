@@ -296,7 +296,7 @@ def q_pip_join(sf_dir: str):
         PIPJoin,
         fn_constructor_kwargs={"boundaries_ref": ref},
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=None,
         concurrency=(1, 4),
         num_cpus=1,
     )
@@ -344,7 +344,7 @@ def q_overlap_typed(sf_dir: str):
             "rlon": synth.RLON,
         },
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=None,
         concurrency=(1, 4),
         num_cpus=1,
     )
@@ -388,7 +388,7 @@ def q_knn_nearest(sf_dir: str):
         NearestLandmark,
         fn_constructor_kwargs={"landmarks_ref": ref},
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,
         concurrency=(1, 4),
         num_cpus=1,
     )
@@ -414,7 +414,7 @@ def q_knn_nearest_kind(sf_dir: str):
         NearestLandmark,
         fn_constructor_kwargs={"landmarks_ref": ref, "kind_filter": True},
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,
         concurrency=(1, 4),
         num_cpus=1,
     )
@@ -439,7 +439,7 @@ def q_knn_top3(sf_dir: str):
         BruteForceTopK,
         fn_constructor_kwargs={"landmarks_ref": ref, "k": 3},
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,
         concurrency=(1, 4),
         num_cpus=1,
     )
@@ -938,6 +938,9 @@ def _payloads_ds(sf_dir: str):
 @register(
     "mm_image_decode",
     """
+    -- ascii() = first CODEPOINT; the stub reads the first UTF-8 BYTE.
+    -- Identical for this ASCII corpus; a non-ASCII corpus needs a
+    -- byte-level oracle expression instead.
     SELECT doc_id,
            64 + octet_length(encode(text)) % 64 AS width,
            64 + ascii(substring(text, 1, 1)) % 64 AS height,
@@ -1597,33 +1600,54 @@ def q_overlap_pairs_salted(sf_dir: str):
     "dataset_center",
     f"""
     WITH {synth.MENTIONS_SQL}
-    SELECT CAST(floor(avg(lat) * 1000000 + 0.5) AS BIGINT) AS clat_udeg,
-           CAST(floor(avg(lon) * 1000000 + 0.5) AS BIGINT) AS clon_udeg,
+    SELECT CAST(floor(sum(CAST(floor(lat * 1000000 + 0.5) AS BIGINT))
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+             AS clat_udeg,
+           CAST(floor(sum(CAST(floor(lon * 1000000 + 0.5) AS BIGINT))
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+             AS clon_udeg,
            count(*) AS n
     FROM mentions
     """,
 )
 def q_dataset_center(sf_dir: str):
     """Dataset center: mean mention position (MapData.getCenter,
-    MapData.java:171-184) + the data-boundary aggregate family
-    (MapData.java:53-79) as one global Mean/Count aggregate."""
-    from ray.data.aggregate import Count, Mean
+    MapData.java:171-184). Positions snap to integer micro-degrees
+    FIRST, so the distributed sum is exact-integer (associative) and
+    the result cannot drift from the oracle's sequential sum — a
+    float Mean's combine order would make the micro-unit rounding
+    nondeterministic."""
+    from ray.data.aggregate import Count, Sum
 
     ds = datasets.mentions_ds(sf_dir)
-    res = ds.aggregate(
-        Mean("lat", alias_name="clat"),
-        Mean("lon", alias_name="clon"),
+
+    def to_udeg(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lat_udeg": pa.array(
+                    np.floor(b["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+                ),
+                "lon_udeg": pa.array(
+                    np.floor(b["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    res = ds.map_batches(to_udeg, batch_format="pyarrow").aggregate(
+        Sum("lat_udeg", alias_name="slat"),
+        Sum("lon_udeg", alias_name="slon"),
         Count(alias_name="n"),
     )
+    n = int(res["n"])
     return pa.table(
         {
             "clat_udeg": pa.array(
-                [int(np.floor(res["clat"] * 1e6 + 0.5))], type=pa.int64()
+                [int(np.floor(int(res["slat"]) / float(n) + 0.5))], type=pa.int64()
             ),
             "clon_udeg": pa.array(
-                [int(np.floor(res["clon"] * 1e6 + 0.5))], type=pa.int64()
+                [int(np.floor(int(res["slon"]) / float(n) + 0.5))], type=pa.int64()
             ),
-            "n": pa.array([int(res["n"])], type=pa.int64()),
+            "n": pa.array([n], type=pa.int64()),
         }
     )
 

@@ -45,9 +45,12 @@ def synth_pages(batch: pa.Table) -> pa.Table:
     for i, d in enumerate(doc_id.tolist()):
         spans = []
         for _ in range(int(n[i])):
+            # repr(float(...)): plain-Python shortest round-trip repr —
+            # np.float64.__repr__ becomes 'np.float64(…)' under numpy 2
             spans.append(
                 f'<span class="geo" data-kind="{kind[pos]}" '
-                f'data-lat="{lat[pos]!r}" data-lon="{lon[pos]!r}" '
+                f'data-lat="{repr(float(lat[pos]))}" '
+                f'data-lon="{repr(float(lon[pos]))}" '
                 f'data-tags="{synth.TAG_VARIANTS[tagv[pos]]}"></span>'
             )
             pos += 1

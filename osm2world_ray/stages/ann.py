@@ -22,6 +22,8 @@ oracle comparisons never hash raw floats.
 
 from __future__ import annotations
 
+from ._util import resolve_ref as _resolve
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -29,16 +31,6 @@ import pyarrow as pa
 DIM = 64
 K = 5
 
-
-def _resolve(ref):
-    try:
-        import ray
-
-        if isinstance(ref, ray.ObjectRef):
-            return ray.get(ref)
-    except ImportError:
-        pass
-    return ref
 
 
 def _embedding_matrix(batch: pa.Table) -> np.ndarray:

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import hashlib
 
+from ._util import resolve_ref as _resolve
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -217,16 +219,6 @@ class SimHashStage:
             }
         )
 
-
-def _resolve(ref):
-    try:
-        import ray
-
-        if isinstance(ref, ray.ObjectRef):
-            return ray.get(ref)
-    except ImportError:
-        pass
-    return ref
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,8 @@ exact expression the oracle SQL uses.
 
 from __future__ import annotations
 
+from ._util import resolve_ref as _resolve
+
 import numpy as np
 import pyarrow as pa
 
@@ -174,13 +176,3 @@ class BruteForceTopK:
             "rank", pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n))
         )
 
-
-def _resolve(ref):
-    try:
-        import ray
-
-        if isinstance(ref, ray.ObjectRef):
-            return ray.get(ref)
-    except ImportError:
-        pass
-    return ref

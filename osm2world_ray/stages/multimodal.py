@@ -119,6 +119,14 @@ def frame_sample(batch: pa.Table, *, frame_bytes: int = FRAME_BYTES,
     """Treat each payload as a fixed-frame-size "video"; emit every
     ``stride``-th frame's (index, byte length) — the frame-sampling
     fan-out shape (row -> k frame rows, vectorized repeat/cumsum)."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "frame_idx": pa.array([], type=pa.int64()),
+                "frame_len": pa.array([], type=pa.int64()),
+            }
+        )
     n_bytes = _payload_lengths(batch[payload_col])
     n_frames = (n_bytes + frame_bytes - 1) // frame_bytes
     n_sampled = (n_frames + stride - 1) // stride

@@ -16,6 +16,8 @@ center is INTERSECT; a contained center is CONTAIN.
 
 from __future__ import annotations
 
+from ._util import resolve_ref as _resolve
+
 import numpy as np
 import pyarrow as pa
 
@@ -108,13 +110,3 @@ class TypedOverlapJoin:
             "boundary_id", pa.array(self.index.ids[eb])
         ).append_column("overlap_type", pa.array(types, type=pa.string()))
 
-
-def _resolve(ref):
-    try:
-        import ray
-
-        if isinstance(ref, ray.ObjectRef):
-            return ray.get(ref)
-    except ImportError:
-        pass
-    return ref

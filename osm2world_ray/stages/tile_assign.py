@@ -189,11 +189,15 @@ def fan_out_cells_salted(batch: pa.Table, hot_cells: np.ndarray, *,
     hot_src = base.take(pa.array(hot_rows_idx)).drop(
         ["cell", "cell_ix", "cell_iy"]
     )
-    seen = pd.util.hash_pandas_object(
-        hot_src.to_pandas(), index=False
-    ).to_numpy()
-    _, first_idx = np.unique(seen, return_index=True)
-    hot_src = hot_src.take(pa.array(np.sort(first_idx)))
+    # dedup on the natural row key (hashing the rows risks silent
+    # collision drops)
+    df = hot_src.to_pandas()
+    keep_idx = (
+        df.reset_index()
+        .drop_duplicates(["url", "mention_idx"])["index"]
+        .to_numpy()
+    )
+    hot_src = hot_src.take(pa.array(np.sort(keep_idx)))
     fine = fan_out_cells(hot_src, r=r_hot, rlat=rlat, rlon=rlon)
     shift = r_hot - r
     parent = (

@@ -107,6 +107,8 @@ def asof_join(group: pd.DataFrame, *, left_type: str = "click",
     right = group[etype == right_type]
     if len(left) == 0:
         return empty
+    if len(right) == 0:
+        return empty
     lu = left["user_id"].to_numpy(dtype=np.int64)
     lt = left["ts_us"].to_numpy(dtype=np.int64)
     le = left["event_id"].to_numpy(dtype=np.int64)
