@@ -853,6 +853,79 @@ def q_knn_brute_cosine(sf_dir: str):
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])
+                      * 1000000 + 0.5) AS BIGINT) AS cos_udeg
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def q_dedup_embedding_cosine(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.35): broadcast
+    normalized matrix, per-batch blocked matmul against it, ordered
+    pairs owned by the batch holding the lower vec_id. At corpus scale
+    the broadcast side becomes the LSH/IVF bucketed index; this is the
+    exact baseline."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.ann import _embedding_matrix, _normalize
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet").select(
+        ["vec_id", "embedding"]
+    )
+    ref = ray.put(full)
+
+    class CosinePairs:
+        def __init__(self, threshold: float = 0.35):
+            from ..stages._util import resolve_ref
+
+            t = resolve_ref(ref)
+            self.all_ids = t["vec_id"].to_numpy()
+            self.M = _normalize(_embedding_matrix(t))
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            emb = _normalize(_embedding_matrix(batch))
+            sims = emb @ self.M.T  # (nb, N)
+            # ordered pairs: this batch's row owns pairs where its id is smaller
+            ii, jj = np.nonzero(
+                (sims >= self.threshold) & (ids[:, None] < self.all_ids[None, :])
+            )
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids[ii]),
+                    "vec_b": pa.array(self.all_ids[jj]),
+                    "cos_udeg": pa.array(
+                        np.floor(sims[ii, jj] * 1e6 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+    ds = datasets.embeddings_ds(sf_dir)
+    return ds.map_batches(
+        CosinePairs, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+    )
+
+
+@register("fingerprint_rolling")  # rolling-hash primitive -> rows-only
+def q_fingerprint_rolling(sf_dir: str):
+    """Document fingerprints: md5 + polynomial rolling hash of the
+    first 64 chars (the shingle-pipeline primitive)."""
+    from ..stages.textstats import Fingerprint
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        Fingerprint, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+    )
+
+
 @register("ann_ivf_cosine")  # approximate -> rows-only check
 def q_ann_ivf_cosine(sf_dir: str):
     """IVF-style approximate cosine top-5: distributed per-label
