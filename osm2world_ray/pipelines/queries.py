@@ -1861,6 +1861,154 @@ def q_classify_tags(sf_dir: str):
     return ds.map_batches(classify, batch_format="pyarrow")
 
 
+@register(
+    "resolve_relations",
+    f"""
+    WITH rels AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+    members AS (
+      SELECT doc_id, 0 AS member_idx, 'node' AS member_type,
+             doc_id AS ref_doc, 0 AS ref_idx, 'admin_centre' AS role
+      FROM rels
+      UNION ALL SELECT doc_id, 1, 'way', doc_id, -1, 'outer' FROM rels
+      UNION ALL SELECT doc_id, 2, 'relation', doc_id - 11, -1, 'subarea'
+      FROM rels
+      UNION ALL SELECT doc_id, 3, 'node', doc_id, 9, 'label'
+      FROM rels WHERE doc_id % 33 = 0
+    )
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url, member_idx, member_type,
+           role,
+           CASE member_type
+             WHEN 'node' THEN
+               CASE WHEN ref_idx <= (ref_doc % 3) THEN 1 ELSE 0 END
+             WHEN 'way' THEN 1
+             ELSE CASE WHEN ref_doc >= 0 THEN 1 ELSE 0 END
+           END AS resolved
+    FROM members
+    """,
+)
+def q_resolve_relations(sf_dir: str):
+    """Relation-member resolution: 3-way typed hash join (node / way /
+    relation member maps, OSMToMapDataConverter.java:307-383) as ONE
+    bucket co-group keyed on the referenced doc; incomplete members
+    emit resolved=0 rows (logged-but-kept semantics) instead of
+    failing the relation."""
+    from ..stages.resolve import resolve_relations
+
+    return resolve_relations(sf_dir)
+
+
+_HUGE_FACTOR = 5.0
+_HUGE_PAD = 0.1
+
+
+@register(
+    "shrink_huge_areas",
+    f"""
+    WITH {synth.MENTIONS_SQL},
+    bounds AS (
+      SELECT min(lat) AS b_minlat, min(lon) AS b_minlon,
+             max(lat) AS b_maxlat, max(lon) AS b_maxlon,
+             (max(lat) - min(lat)) * (max(lon) - min(lon)) AS b_area
+      FROM mentions
+    ),
+    bb AS (
+      SELECT boundary_id, minlat::DOUBLE AS minlat, minlon::DOUBLE AS minlon,
+             maxlat::DOUBLE AS maxlat, maxlon::DOUBLE AS maxlon
+      FROM (VALUES {{BBOX_VALUES}})
+        v(boundary_id, minlat, minlon, maxlat, maxlon)
+    )
+    SELECT boundary_id,
+      CASE WHEN (maxlat - minlat) * (maxlon - minlon) > {_HUGE_FACTOR} * b_area
+           THEN 1 ELSE 0 END AS clipped,
+      CAST(floor(CASE WHEN (maxlat - minlat) * (maxlon - minlon) > {_HUGE_FACTOR} * b_area
+           THEN greatest(minlat, b_minlat - {_HUGE_PAD}) ELSE minlat END
+           * 1000000 + 0.5) AS BIGINT) AS minlat_udeg,
+      CAST(floor(CASE WHEN (maxlat - minlat) * (maxlon - minlon) > {_HUGE_FACTOR} * b_area
+           THEN greatest(minlon, b_minlon - {_HUGE_PAD}) ELSE minlon END
+           * 1000000 + 0.5) AS BIGINT) AS minlon_udeg,
+      CAST(floor(CASE WHEN (maxlat - minlat) * (maxlon - minlon) > {_HUGE_FACTOR} * b_area
+           THEN least(maxlat, b_maxlat + {_HUGE_PAD}) ELSE maxlat END
+           * 1000000 + 0.5) AS BIGINT) AS maxlat_udeg,
+      CAST(floor(CASE WHEN (maxlat - minlat) * (maxlon - minlon) > {_HUGE_FACTOR} * b_area
+           THEN least(maxlon, b_maxlon + {_HUGE_PAD}) ELSE maxlon END
+           * 1000000 + 0.5) AS BIGINT) AS maxlon_udeg
+    FROM bb, bounds
+    """,
+)
+def q_shrink_huge_areas(sf_dir: str):
+    """Huge-area clip guard (OSMToMapDataConverter.shrinkHugeAreas,
+    :78-156): boundaries whose bbox exceeds 5x the data bbox area are
+    clipped (real Sutherland-Hodgman on the WKB rings) to the padded
+    data bounds; others pass through. Emits each boundary's resulting
+    bbox + clipped flag."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ..geo import wkb as wkb_mod
+    from ..geo.clip import clip_ring_to_rect
+    from ..sources.boundaries import boundaries_table
+
+    ds = datasets.mentions_ds(sf_dir)
+    b = ds.aggregate(
+        Min("lat", alias_name="minlat"), Min("lon", alias_name="minlon"),
+        Max("lat", alias_name="maxlat"), Max("lon", alias_name="maxlon"),
+    )
+    b_area = (b["maxlat"] - b["minlat"]) * (b["maxlon"] - b["minlon"])
+    rect = (
+        b["minlon"] - _HUGE_PAD, b["minlat"] - _HUGE_PAD,
+        b["maxlon"] + _HUGE_PAD, b["maxlat"] + _HUGE_PAD,
+    )
+
+    def guard(t: pa.Table) -> pa.Table:
+        ids, clipped, lo_la, lo_lo, hi_la, hi_lo = [], [], [], [], [], []
+        for bid, blob in zip(t["boundary_id"].to_pylist(), t["wkb"].to_pylist()):
+            outer = np.asarray(wkb_mod.decode(blob)[0][0], dtype=np.float64)
+            minx, miny = outer[:, 0].min(), outer[:, 1].min()
+            maxx, maxy = outer[:, 0].max(), outer[:, 1].max()
+            is_huge = (maxy - miny) * (maxx - minx) > _HUGE_FACTOR * b_area
+            if is_huge:
+                ring = clip_ring_to_rect(outer, *rect)
+                minx, miny = ring[:, 0].min(), ring[:, 1].min()
+                maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
+            ids.append(bid)
+            clipped.append(int(is_huge))
+            lo_la.append(miny)
+            lo_lo.append(minx)
+            hi_la.append(maxy)
+            hi_lo.append(maxx)
+
+        def udeg(v):
+            return pa.array(
+                np.floor(np.asarray(v) * 1e6 + 0.5).astype(np.int64)
+            )
+
+        return pa.table(
+            {
+                "boundary_id": pa.array(ids, type=pa.int64()),
+                "clipped": pa.array(clipped, type=pa.int64()),
+                "minlat_udeg": udeg(lo_la),
+                "minlon_udeg": udeg(lo_lo),
+                "maxlat_udeg": udeg(hi_la),
+                "maxlon_udeg": udeg(hi_lo),
+            }
+        )
+
+    return rd.from_arrow(boundaries_table()).map_batches(
+        guard, batch_format="pyarrow"
+    )
+
+
+def _patch_shrink_oracle() -> None:
+    from ..sources.boundaries import bbox_sql_values
+
+    ORACLES["shrink_huge_areas"] = ORACLES["shrink_huge_areas"].replace(
+        "{BBOX_VALUES}", bbox_sql_values()
+    )
+
+
+_patch_shrink_oracle()
+
+
 def _triangulation_expected_sql() -> str:
     """VALUES of (boundary_id, n_triangles, net_area_e6) from the
     boundary specs' CLOSED-FORM areas — independent of the earcut

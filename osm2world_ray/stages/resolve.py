@@ -142,6 +142,175 @@ def _tagged_union(sf_dir: str):
     return nodes.union(refs)
 
 
+REL_MOD = 11
+REL_DANGLING_MOD = 33
+
+
+def relation_members(batch: pa.Table) -> pa.Table:
+    """documents batch -> typed relation-member rows. Docs with
+    ``doc_id % 11 == 0`` declare a relation with members (node: own
+    mention 0 / way: own way / relation: previous relation), plus a
+    dangling node member for ``doc_id % 33 == 0`` — the
+    incomplete-member path (OSMToMapDataConverter.java:307-383)."""
+    doc = batch["doc_id"].to_numpy()
+    rels = doc[doc % REL_MOD == 0]
+    rows = []
+    for d in rels.tolist():
+        rows.append((d, 0, "node", d, 0, "admin_centre"))
+        rows.append((d, 1, "way", d, -1, "outer"))
+        rows.append((d, 2, "relation", d - REL_MOD, -1, "subarea"))
+        if d % REL_DANGLING_MOD == 0:
+            rows.append((d, 3, "node", d, 9, "label"))
+    if not rows:
+        rows = []
+    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+    return pa.table(
+        {
+            "rel_doc": pa.array(list(cols[0]), type=pa.int64()),
+            "member_idx": pa.array(list(cols[1]), type=pa.int64()),
+            "member_type": pa.array(list(cols[2]), type=pa.string()),
+            "ref_doc": pa.array(list(cols[3]), type=pa.int64()),
+            "ref_idx": pa.array(list(cols[4]), type=pa.int64()),
+            "role": pa.array(list(cols[5]), type=pa.string()),
+        }
+    )
+
+
+def resolve_relations_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket co-group: kind 0 = node keys (doc, midx), kind 1 = way
+    keys (doc), kind 2 = relation keys (doc), kind 3 = member rows
+    keyed by ref_doc. Emits every member with its resolved flag
+    (incomplete members are logged-but-kept, the reference keeps a
+    relation while any member resolves)."""
+    nodes = group[group["kind"] == 0]
+    ways = set(group.loc[group["kind"] == 1, "key_doc"].astype(np.int64))
+    rels = set(group.loc[group["kind"] == 2, "key_doc"].astype(np.int64))
+    node_keys = set(
+        zip(
+            nodes["key_doc"].astype(np.int64),
+            nodes["key_idx"].astype(np.int64),
+        )
+    )
+    members = group[group["kind"] == 3]
+    if len(members) == 0:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype=str),
+                "member_idx": pd.Series(dtype=np.int64),
+                "member_type": pd.Series(dtype=str),
+                "role": pd.Series(dtype=str),
+                "resolved": pd.Series(dtype=np.int64),
+            }
+        )
+    mtype = members["member_type"].to_numpy()
+    ref_doc = members["ref_doc"].to_numpy(dtype=np.int64)
+    ref_idx = members["ref_idx"].to_numpy(dtype=np.int64)
+    node_arr = np.array(
+        sorted(d * 16 + i for d, i in node_keys), dtype=np.int64
+    )
+    way_arr = np.array(sorted(ways), dtype=np.int64)
+    rel_arr = np.array(sorted(rels), dtype=np.int64)
+    res = np.where(
+        mtype == "node",
+        np.isin(ref_doc * 16 + ref_idx, node_arr),
+        np.where(
+            mtype == "way",
+            np.isin(ref_doc, way_arr),
+            np.isin(ref_doc, rel_arr),
+        ),
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "url": synth.URL_PREFIX
+            + members["rel_doc"].astype(np.int64).astype(str),
+            "member_idx": members["member_idx"].astype(np.int64).to_numpy(),
+            "member_type": members["member_type"].to_numpy(),
+            "role": members["role"].to_numpy(),
+            "resolved": np.array(res, dtype=np.int64),
+        }
+    )
+
+
+def resolve_relations(sf_dir: str):
+    """3-way typed member resolution as one bucket co-group keyed on
+    the referenced doc."""
+    from ..pipelines import datasets
+
+    mentions = datasets.mentions_ds(sf_dir)
+    docs = datasets.documents_ds(sf_dir, columns=["doc_id"])
+
+    def node_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = pc.utf8_slice_codeunits(
+            b["url"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        return _keyrow(doc, b["mention_idx"].to_numpy(), 0)
+
+    def way_keys(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        return _keyrow(doc, np.full(len(doc), -1), 1)
+
+    def rel_keys(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        doc = doc[doc % REL_MOD == 0]
+        return _keyrow(doc, np.full(len(doc), -1), 2)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        m = relation_members(b)
+        return pa.table(
+            {
+                "key_doc": m["ref_doc"],
+                "key_idx": m["ref_idx"],
+                "kind": pa.array(np.full(len(m), 3, dtype=np.int64)),
+                "rel_doc": m["rel_doc"],
+                "member_idx": m["member_idx"],
+                "member_type": m["member_type"],
+                "ref_doc": m["ref_doc"],
+                "ref_idx": m["ref_idx"],
+                "role": m["role"],
+                "bucket": pa.array(bucket_of(m["ref_doc"].to_numpy())),
+            }
+        )
+
+    def _pad(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return (
+            t.append_column("rel_doc", pa.nulls(n, pa.int64()))
+            .append_column("member_idx", pa.nulls(n, pa.int64()))
+            .append_column("member_type", pa.nulls(n, pa.string()))
+            .append_column("ref_doc", pa.nulls(n, pa.int64()))
+            .append_column("ref_idx", pa.nulls(n, pa.int64()))
+            .append_column("role", pa.nulls(n, pa.string()))
+            .append_column("bucket", pa.array(bucket_of(t["key_doc"].to_numpy())))
+        )
+
+    nodes = mentions.map_batches(node_keys, batch_format="pyarrow").map_batches(
+        _pad, batch_format="pyarrow"
+    )
+    ways = docs.map_batches(way_keys, batch_format="pyarrow").map_batches(
+        _pad, batch_format="pyarrow"
+    )
+    rels = docs.map_batches(rel_keys, batch_format="pyarrow").map_batches(
+        _pad, batch_format="pyarrow"
+    )
+    members = docs.map_batches(member_rows, batch_format="pyarrow")
+    union = nodes.union(ways).union(rels).union(members)
+    return union.groupby("bucket").map_groups(
+        resolve_relations_group, batch_format="pandas"
+    )
+
+
+def _keyrow(doc: np.ndarray, idx: np.ndarray, kind: int) -> pa.Table:
+    return pa.table(
+        {
+            "key_doc": pa.array(doc.astype(np.int64)),
+            "key_idx": pa.array(np.asarray(idx, dtype=np.int64)),
+            "kind": pa.array(np.full(len(doc), kind, dtype=np.int64)),
+        }
+    )
+
+
 def resolve_ways(sf_dir: str):
     return _tagged_union(sf_dir).groupby("bucket").map_groups(
         resolve_group, batch_format="pandas"
