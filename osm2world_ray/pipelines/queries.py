@@ -478,10 +478,13 @@ def q_overlap_pairs(sf_dir: str):
     at scale) -> vectorized within-cell pairwise bbox tests ->
     min-corner dedup (no second shuffle). The flagship all-to-all
     stage (OSMToMapDataConverter.java:418-439)."""
+    return _overlap_pairs_from(datasets.mentions_ds(sf_dir))
+
+
+def _overlap_pairs_from(mentions_ds):
     from ..stages import overlaps
 
-    ds = datasets.mentions_ds(sf_dir)
-    ds = ds.map_batches(
+    ds = mentions_ds.map_batches(
         lambda b: tile_assign.fan_out_cells(b, r=5), batch_format="pyarrow"
     ).select_columns(["url", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy"])
 
@@ -1577,7 +1580,9 @@ def q_overlap_components(sf_dir: str):
     mention key in the component."""
     from ..stages.components import connected_components
 
-    ds = datasets.mentions_ds(sf_dir)
+    # nodes and the pairwise edge join share the mentions scan —
+    # materialize the small extracted table once
+    ds = datasets.mentions_ds(sf_dir).materialize()
 
     def to_nodes(b: pa.Table) -> pa.Table:
         doc = pa.compute.utf8_slice_codeunits(
@@ -1589,7 +1594,7 @@ def q_overlap_components(sf_dir: str):
 
     nodes = ds.map_batches(to_nodes, batch_format="pyarrow")
 
-    pairs = q_overlap_pairs(sf_dir)
+    pairs = _overlap_pairs_from(ds)
 
     def to_edges(b: pa.Table) -> pa.Table:
         da = pa.compute.utf8_slice_codeunits(
@@ -1646,7 +1651,11 @@ def q_overlap_pairs_salted(sf_dir: str):
 
     from ..stages import overlaps
 
-    ds = datasets.mentions_ds(sf_dir)
+    # two passes (count pre-pass + join) read the same mentions:
+    # materialize the SMALL extracted table once instead of re-running
+    # HTML extraction (the Scene.meshStoreCache reuse precedent,
+    # Scene.java:30-31; mentions carry no html payloads)
+    ds = datasets.mentions_ds(sf_dir).materialize()
     # threshold sized so the clustered cells refine at test scales; at
     # production scale tie it to the per-task pairwise budget (rows
     # whose n^2 exceeds the time budget of one shuffle task)
@@ -1660,7 +1669,6 @@ def q_overlap_pairs_salted(sf_dir: str):
             "bucket", pa.array(overlaps.bucket_of(out["cell"].to_numpy()))
         )
 
-    ds = datasets.mentions_ds(sf_dir)
     ds = ds.map_batches(fan, batch_format="pyarrow").select_columns(
         ["url", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy", "bucket"]
     )

@@ -77,10 +77,48 @@ def local_roots(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"node": nodes, "root": roots})
 
 
+def node_min_roots_and_conflicts(group: pd.DataFrame) -> pd.DataFrame:
+    """Node-bucket pass: per node, its min local root (kind 0 rows) and
+    one conflict edge per adjacent distinct root pair (kind 1 rows) —
+    the quotient-graph edges. Input includes self rows (node, node) so
+    edge-less nodes label themselves here too."""
+    g = group.sort_values(["node", "root"], kind="mergesort")
+    node = g["node"].to_numpy(dtype=np.int64)
+    root = g["root"].to_numpy(dtype=np.int64)
+    first = np.ones(len(node), dtype=bool)
+    first[1:] = node[1:] != node[:-1]
+    k0 = pd.DataFrame(
+        {
+            "node": node[first],
+            "root": root[first],  # min root: sorted by (node, root)
+            "ra": np.full(int(first.sum()), -1, dtype=np.int64),
+            "rb": np.full(int(first.sum()), -1, dtype=np.int64),
+            "kind": np.zeros(int(first.sum()), dtype=np.int64),
+        }
+    )
+    same = node[1:] == node[:-1]
+    differ = root[1:] != root[:-1]
+    take = same & differ
+    k1 = pd.DataFrame(
+        {
+            "node": node[1:][take],
+            "root": np.full(int(take.sum()), -1, dtype=np.int64),
+            "ra": root[:-1][take],
+            "rb": root[1:][take],
+            "kind": np.ones(int(take.sum()), dtype=np.int64),
+        }
+    )
+    return pd.concat([k0, k1], ignore_index=True)
+
+
 def connected_components(nodes_ds, edges_ds):
     """nodes: (node:int64); edges: (src, dst) one direction per pair.
     Returns a Dataset (node, label) with label = min node id in the
-    component."""
+    component. Exactly TWO bucketed shuffles: edges -> local roots,
+    then (node, root) -> per-node min + quotient conflicts; the tiny
+    quotient union-find runs on the driver and the remap broadcasts
+    back into a final map (no further shuffle — each node has exactly
+    one row after the second pass)."""
     import ray
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -92,25 +130,21 @@ def connected_components(nodes_ds, edges_ds):
         local_roots, batch_format="pandas"
     )
 
-    # quotient: per node, conflicts among its bucket-local roots
     def root_key(b: pa.Table) -> pa.Table:
         return b.append_column("bucket", pa.array(bucket_of(b["node"].to_numpy())))
 
-    def conflicts(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["node", "root"], kind="mergesort")
-        node = g["node"].to_numpy(dtype=np.int64)
-        root = g["root"].to_numpy(dtype=np.int64)
-        same = node[1:] == node[:-1]
-        differ = root[1:] != root[:-1]
-        take = same & differ
-        return pd.DataFrame({"ra": root[:-1][take], "rb": root[1:][take]})
+    def self_rows(b: pa.Table) -> pa.Table:
+        t = pa.table({"node": b["node"], "root": b["node"]})
+        return root_key(t)
 
-    quotient = (
-        node_roots.map_batches(root_key, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(conflicts, batch_format="pandas")
-        .to_pandas()  # SMALL by the locality assumption (see module doc)
+    all_roots = node_roots.map_batches(root_key, batch_format="pyarrow").union(
+        nodes_ds.map_batches(self_rows, batch_format="pyarrow")
     )
+    mixed = all_roots.groupby("bucket").map_groups(
+        node_min_roots_and_conflicts, batch_format="pandas"
+    ).materialize()
+
+    quotient = mixed.filter(expr="kind == 1").select_columns(["ra", "rb"]).to_pandas()
     uf = UnionFind()
     for a, b in zip(quotient["ra"], quotient["rb"]):
         uf.union(int(a), int(b))
@@ -125,37 +159,8 @@ def connected_components(nodes_ds, edges_ds):
         lab = np.array([m.get(int(r), int(r)) for r in root], dtype=np.int64)
         return pa.table({"node": b["node"], "label": pa.array(lab)})
 
-    # dedup multi-bucket nodes to their min mapped label
-    def min_label(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby("node", as_index=False, sort=False)["label"].min()
-        return out.astype({"node": np.int64, "label": np.int64})
-
-    labeled = (
-        node_roots.map_batches(finalize, batch_format="pyarrow")
-        .map_batches(root_key_label, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(min_label, batch_format="pandas")
-    )
-
-    # singleton nodes (no incident edges) keep their own id
-    def self_label(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["node"], "label": b["node"]})
-
-    singles = nodes_ds.map_batches(self_label, batch_format="pyarrow")
-    union_all = labeled.union(
-        singles.map_batches(root_key_label, batch_format="pyarrow").select_columns(
-            ["node", "label"]
-        )
-    )
-    # final min per node: edge-labeled beats self-label (labels <= node id)
     return (
-        union_all.map_batches(root_key_label, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(min_label, batch_format="pandas")
+        mixed.filter(expr="kind == 0")
+        .select_columns(["node", "root"])
+        .map_batches(finalize, batch_format="pyarrow")
     )
-
-
-def root_key_label(b: pa.Table) -> pa.Table:
-    if "bucket" in b.column_names:
-        b = b.drop(["bucket"])
-    return b.append_column("bucket", pa.array(bucket_of(b["node"].to_numpy())))
