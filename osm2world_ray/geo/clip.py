@@ -53,6 +53,53 @@ def clip_ring_to_rect(
     return pts
 
 
+def clip_ring_to_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring against a CONVEX clip
+    polygon — the boolean-intersection kernel (the CAG ``intersect``
+    analogue, ``CAGUtil.java:37-41``; JTS there, pure numpy here).
+
+    ``clip_ring`` must be convex; winding is normalized to CCW
+    internally, and the subject is clipped keeping the left side of
+    each clip edge (the same keep-left rule as the rect case). Returns
+    the intersection ring (possibly empty), no closing duplicate.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    if len(clip) and np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    # normalize clip winding to CCW (shoelace)
+    x, y = clip[:, 0], clip[:, 1]
+    if np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y) < 0:
+        clip = clip[::-1]
+    for k in range(len(clip)):
+        if len(pts) == 0:
+            break
+        a = clip[k]
+        b = clip[(k + 1) % len(clip)]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        side = (pts[:, 0] - a[0]) * ey - (pts[:, 1] - a[1]) * ex
+        inside = side <= 0  # left of (or on) the CCW edge
+        out = []
+        n = len(pts)
+        for i in range(n):
+            j = (i + 1) % n
+            if inside[i]:
+                out.append(pts[i])
+                if not inside[j]:
+                    out.append(_isect_edge(pts[i], pts[j], side[i], side[j]))
+            elif inside[j]:
+                out.append(_isect_edge(pts[i], pts[j], side[i], side[j]))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
+def _isect_edge(p: np.ndarray, q: np.ndarray, sp: float, sq: float) -> np.ndarray:
+    t = sp / (sp - sq)
+    return p + t * (q - p)
+
+
 def _isect_axis(p: np.ndarray, q: np.ndarray, axis: int, bound: float) -> np.ndarray:
     t = (bound - p[axis]) / (q[axis] - p[axis])
     r = p + t * (q - p)
