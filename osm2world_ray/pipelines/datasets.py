@@ -27,26 +27,23 @@ def texts_ds(sf_dir: str, *, repeat: int = 1,
     return extract_text(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)
 
 
-def documents_ds(sf_dir: str, *, columns: list[str] | None = None,
-                 num_blocks: int = 32):
-    """Raw documents table (column-pruned read + block split)."""
+def documents_ds(sf_dir: str, *, columns: list[str] | None = None):
+    """Raw documents table (column-pruned read; Ray auto-splits the
+    single file into ~parallelism blocks, no repartition needed)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
-    return ds.repartition(num_blocks) if num_blocks else ds
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def events_ds(sf_dir: str, *, num_blocks: int = 32):
+def events_ds(sf_dir: str):
     """Events table (event_id, ts, user_id, event_type, value, props)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
-    return ds.repartition(num_blocks) if num_blocks else ds
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
 
 
-def embeddings_ds(sf_dir: str, *, num_blocks: int = 32):
+def embeddings_ds(sf_dir: str):
     """Embeddings table (vec_id, embedding: list<float>, label)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ds.repartition(num_blocks) if num_blocks else ds
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")

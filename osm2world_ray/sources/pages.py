@@ -127,11 +127,10 @@ def read_pages(sf_dir: str, *, drop_text: bool = True, repeat: int = 1,
             repeat, override_num_blocks=min(repeat, max(num_blocks, 64))
         ).map_batches(_read_replica, batch_format="pyarrow")
     else:
+        # Ray auto-splits even a single-file read into ~parallelism
+        # blocks (ReadParquet->SplitBlocks), so no repartition barrier
+        # is needed here
         ds = rd.read_parquet(path, columns=["doc_id", "text", "lang"])
-        if num_blocks:
-            # the sandbox input is one small file = one block; a cheap
-            # repartition restores block parallelism downstream
-            ds = ds.repartition(num_blocks)
     ds = ds.map_batches(synth_pages, batch_format="pyarrow")
     if drop_text:
         ds = ds.select_columns(["url", "warc_ts", "html", "lang"])
