@@ -33,6 +33,11 @@ def suppress_consecutive(df: pd.DataFrame,
         out["n_suppressed"] = pd.Series(dtype=np.int64)
         return out
     present = [c for c in cols if c in df.columns]
+    if not present:
+        raise ValueError(
+            f"none of the compare columns {cols} present — refusing to "
+            "suppress on a vacuous match"
+        )
     same = np.ones(len(df), dtype=bool)
     same[0] = False
     for c in present:

@@ -1976,8 +1976,17 @@ def q_shrink_huge_areas(sf_dir: str):
             is_huge = (maxy - miny) * (maxx - minx) > _HUGE_FACTOR * b_area
             if is_huge:
                 ring = clip_ring_to_rect(outer, *rect)
-                minx, miny = ring[:, 0].min(), ring[:, 1].min()
-                maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
+                if len(ring):
+                    minx, miny = ring[:, 0].min(), ring[:, 1].min()
+                    maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
+                else:
+                    # entirely outside the padded bounds: the clamped
+                    # (possibly inverted/degenerate) bbox, matching the
+                    # oracle's greatest/least expressions
+                    minx = max(minx, rect[0])
+                    miny = max(miny, rect[1])
+                    maxx = min(maxx, rect[2])
+                    maxy = min(maxy, rect[3])
             ids.append(bid)
             clipped.append(int(is_huge))
             lo_la.append(miny)

@@ -77,15 +77,31 @@ def run_queue(watch_dir: str, *, runner_id: str | None = None,
             time.sleep(poll_interval)
             continue
         idle = 0
+        # claim only the FIRST pending file, then re-list: a
+        # higher-priority file that appears mid-run must win the next
+        # pick (ParamsCommand.java:113-116 re-sorts per item)
+        claimed = None
+        name = None
         for name in pending:
             claimed = claim(os.path.join(watch_dir, name), runner_id)
-            if claimed is None:
-                continue  # another runner won the rename
+            if claimed is not None:
+                break
+        if claimed is None:
+            continue  # lost every race; re-poll
+        try:
             result = process_param_file(claimed)
-            result["param_file"] = name
-            handled.append(result)
-            if delete_processed:
-                os.remove(claimed)
-            else:
-                os.replace(claimed, os.path.join(watch_dir, name + ".done"))
+        except Exception as ex:  # noqa: BLE001
+            # one bad work item never kills the farm
+            # (FaultTolerantIterationUtil discipline); park it visibly
+            os.replace(claimed, os.path.join(watch_dir, name + ".failed"))
+            handled.append(
+                {"param_file": name, "error": f"{type(ex).__name__}: {ex}"}
+            )
+            continue
+        result["param_file"] = name
+        handled.append(result)
+        if delete_processed:
+            os.remove(claimed)
+        else:
+            os.replace(claimed, os.path.join(watch_dir, name + ".done"))
     return handled

@@ -13,13 +13,15 @@ in-memory union-find. Distributed shape: TWO-LEVEL CONTRACTION:
    small when the partition key preserves locality. A driver-side
    union-find over the quotient (plus a broadcast remap) finishes.
 
-Partitioning assumption (documented per the custom-operator rule): at
-cluster scale the edge bucket key must be SPATIALLY derived (the
-overlap edges come from the cell self-join, so cell-keyed buckets
-contract most components locally and the quotient stays ~boundary-
-sized). With a random hash key the quotient degenerates to the full
-node set — fine at bench scales, wrong at 10^12; recurse on the
-quotient instead if it ever exceeds driver memory.
+Partitioning assumption (documented per the custom-operator rule):
+the quotient holds one vertex per node whose edges span more than one
+bucket. With the default hashed edge key that is O(nodes with >=2
+edges) — fine up to ~10^8 quotient vertices on the driver; at 10^12
+scale the edge bucket key must be SPATIALLY derived (the overlap
+edges come from the cell self-join, so cell-keyed buckets contract
+most components locally and the quotient stays boundary-sized), or
+the contraction must recurse on the quotient instead of collecting
+it.
 
 An earlier iterative min-label-propagation version converged in
 O(diameter) Ray pipelines; per-round fixed costs made it strictly
@@ -79,12 +81,19 @@ def local_roots(group: pd.DataFrame) -> pd.DataFrame:
 
 def node_min_roots_and_conflicts(group: pd.DataFrame) -> pd.DataFrame:
     """Node-bucket pass: per node, its min local root (kind 0 rows) and
-    one conflict edge per adjacent distinct root pair (kind 1 rows) —
-    the quotient-graph edges. Input includes self rows (node, node) so
-    edge-less nodes label themselves here too."""
+    one conflict edge per adjacent distinct BUCKET-DERIVED root pair
+    (kind 1 rows) — the quotient-graph edges.
+
+    Input includes self rows (node, node, is_self=1) so edge-less nodes
+    label themselves, but self rows never generate conflicts: a node's
+    bucket roots are already pairwise linked among themselves, and
+    conflating the node id into the quotient would blow it up to
+    O(edge-bearing nodes). With self rows excluded, quotient size =
+    nodes whose edges span >1 bucket."""
     g = group.sort_values(["node", "root"], kind="mergesort")
     node = g["node"].to_numpy(dtype=np.int64)
     root = g["root"].to_numpy(dtype=np.int64)
+    is_self = g["is_self"].to_numpy(dtype=np.int64)
     first = np.ones(len(node), dtype=bool)
     first[1:] = node[1:] != node[:-1]
     k0 = pd.DataFrame(
@@ -98,7 +107,8 @@ def node_min_roots_and_conflicts(group: pd.DataFrame) -> pd.DataFrame:
     )
     same = node[1:] == node[:-1]
     differ = root[1:] != root[:-1]
-    take = same & differ
+    both_bucket = (is_self[1:] == 0) & (is_self[:-1] == 0)
+    take = same & differ & both_bucket
     k1 = pd.DataFrame(
         {
             "node": node[1:][take],
@@ -130,14 +140,18 @@ def connected_components(nodes_ds, edges_ds):
         local_roots, batch_format="pandas"
     )
 
-    def root_key(b: pa.Table) -> pa.Table:
-        return b.append_column("bucket", pa.array(bucket_of(b["node"].to_numpy())))
+    def root_key(b: pa.Table, self_flag: int) -> pa.Table:
+        return b.append_column(
+            "is_self", pa.array(np.full(len(b), self_flag, dtype=np.int64))
+        ).append_column("bucket", pa.array(bucket_of(b["node"].to_numpy())))
+
+    def bucket_rows(b: pa.Table) -> pa.Table:
+        return root_key(b, 0)
 
     def self_rows(b: pa.Table) -> pa.Table:
-        t = pa.table({"node": b["node"], "root": b["node"]})
-        return root_key(t)
+        return root_key(pa.table({"node": b["node"], "root": b["node"]}), 1)
 
-    all_roots = node_roots.map_batches(root_key, batch_format="pyarrow").union(
+    all_roots = node_roots.map_batches(bucket_rows, batch_format="pyarrow").union(
         nodes_ds.map_batches(self_rows, batch_format="pyarrow")
     )
     mixed = all_roots.groupby("bucket").map_groups(
@@ -148,15 +162,21 @@ def connected_components(nodes_ds, edges_ds):
     uf = UnionFind()
     for a, b in zip(quotient["ra"], quotient["rb"]):
         uf.union(int(a), int(b))
-    remap = {r: uf.find(r) for r in set(uf.parent)}
-    remap_ref = ray.put(remap)
+    keys = np.array(sorted(uf.parent), dtype=np.int64)
+    vals = np.array([uf.find(int(k)) for k in keys], dtype=np.int64)
+    remap_ref = ray.put((keys, vals))
 
     def finalize(b: pa.Table) -> pa.Table:
-        import ray as _ray
+        from ._util import resolve_ref
 
-        m = _ray.get(remap_ref) if isinstance(remap_ref, _ray.ObjectRef) else remap_ref
+        keys_, vals_ = resolve_ref(remap_ref)
         root = b["root"].to_numpy()
-        lab = np.array([m.get(int(r), int(r)) for r in root], dtype=np.int64)
+        lab = root.copy()
+        if len(keys_):
+            pos = np.searchsorted(keys_, root)
+            pos = np.clip(pos, 0, len(keys_) - 1)
+            hit = keys_[pos] == root
+            lab[hit] = vals_[pos[hit]]
         return pa.table({"node": b["node"], "label": pa.array(lab)})
 
     return (

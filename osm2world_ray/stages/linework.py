@@ -106,6 +106,16 @@ def equidistribute(batch: pa.Table, *, preferred_distance: float,
     """
     if not points_at_start_and_end:
         raise NotImplementedError("only the points-at-start-and-end variant")
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "seg_idx": pa.array([], type=pa.int64()),
+                "point_idx": pa.array([], type=pa.int64()),
+                "px_udeg": pa.array([], type=pa.int64()),
+                "py_udeg": pa.array([], type=pa.int64()),
+            }
+        )
     x1 = batch["x1"].to_numpy()
     y1 = batch["y1"].to_numpy()
     x2 = batch["x2"].to_numpy()

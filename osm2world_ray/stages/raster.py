@@ -53,7 +53,7 @@ def cell_counts(ds, *, r: int = 5):
     return ds.groupby("bucket").map_groups(combine, batch_format="pandas")
 
 
-def rasterize_window(group: pd.DataFrame, *, r: int = 5) -> pd.DataFrame:
+def rasterize_window(group: pd.DataFrame) -> pd.DataFrame:
     """One raster window's cells -> dense grid stats + flattened
     nonzero pixels.
 

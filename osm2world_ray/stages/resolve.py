@@ -161,8 +161,6 @@ def relation_members(batch: pa.Table) -> pa.Table:
         rows.append((d, 2, "relation", d - REL_MOD, -1, "subarea"))
         if d % REL_DANGLING_MOD == 0:
             rows.append((d, 3, "node", d, 9, "label"))
-    if not rows:
-        rows = []
     cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
     return pa.table(
         {

@@ -118,12 +118,16 @@ def asof_join(group: pd.DataFrame, *, left_type: str = "click",
     r_order = np.lexsort((re_, rt, ru))
     ru, rt, re_ = ru[r_order], rt[r_order], re_[r_order]
     # strictly-earlier probe, vectorized: one searchsorted over a
-    # (user, ts) composite key (ts offset to keep the product in int64)
-    ts0 = min(int(rt.min()), int(lt.min()))
-    span = max(int(rt.max()), int(lt.max())) - ts0 + 2
-    assert int(max(ru.max(), lu.max())) < (1 << 62) // span, "composite overflow"
-    c_right = ru * span + (rt - ts0)
-    c_left = lu * span + (lt - ts0)
+    # (user, ts-RANK) composite key. Ranks (dense indexes into the
+    # union of observed timestamps) keep the composite far inside
+    # int64 for any realistic user-id/timestamp magnitudes, unlike a
+    # raw user*ts_span product.
+    all_ts = np.unique(np.concatenate([rt, lt]))
+    span = len(all_ts) + 1
+    r_rank = np.searchsorted(all_ts, rt)
+    l_rank = np.searchsorted(all_ts, lt)
+    c_right = ru * span + r_rank
+    c_left = lu * span + l_rank
     idx = np.searchsorted(c_right, c_left, side="left") - 1
     found = (idx >= 0) & (ru[np.maximum(idx, 0)] == lu)
     idx = idx[found]
