@@ -75,3 +75,26 @@ def test_claim_is_exclusive(tmp_path):
     first = qr.claim(str(p), "a")
     second = qr.claim(str(p), "b")
     assert first is not None and second is None
+
+
+def test_bad_work_item_parked_and_rest_processed(ray_session, tmp_path):
+    watch = str(tmp_path / "queue")
+    out = str(tmp_path / "out")
+    os.makedirs(watch)
+    parts = _partitions()[:1]
+    with open(os.path.join(watch, "work_000.json"), "w") as f:
+        f.write("{not json")
+    _write_params(watch, out, parts)  # writes work_000 again? no: same name
+    # ensure the good file has a different name ordering after the bad one
+    os.replace(
+        os.path.join(watch, "work_000.json"),
+        os.path.join(watch, "work_001.json"),
+    )
+    with open(os.path.join(watch, "work_000.json"), "w") as f:
+        f.write("{not json")
+    handled = qr.run_queue(watch, idle_polls=1, poll_interval=0.01)
+    names = {h["param_file"]: h for h in handled}
+    assert "error" in names["work_000.json"]
+    assert names["work_001.json"]["partitions_written"] == 1
+    # the bad item is parked visibly, not lost or retried forever
+    assert "work_000.json.failed" in os.listdir(watch)

@@ -129,6 +129,28 @@ def test_brute_force_topk_kernel():
     assert list(df[df.q_id == 0]["vec_id"]) == best.tolist()
 
 
+def test_connected_components_chain_and_singletons(ray_session):
+    """Long chain whose edges hash into many different buckets must
+    still contract to one component; isolated nodes label themselves;
+    quotient conflicts exclude self rows."""
+    import ray.data as rd
+
+    from osm2world_ray.stages.components import connected_components
+
+    n = 200
+    edges = rd.from_items(
+        [{"src": i, "dst": i + 1} for i in range(n - 1)]
+    )
+    nodes = rd.from_items([{"node": i} for i in range(n + 5)])
+    labels = connected_components(nodes, edges).to_pandas()
+    labels = labels.sort_values("node").reset_index(drop=True)
+    assert (labels.loc[labels.node < n, "label"] == 0).all()
+    # the 5 extra nodes are singletons
+    tail = labels[labels.node >= n]
+    assert (tail["label"].to_numpy() == tail["node"].to_numpy()).all()
+    assert len(labels) == n + 5
+
+
 def test_java_random_golden():
     """Bit-exact java.util.Random parity (public LCG constants; the
     scattering determinism contract, GeometryUtil.java:745-758)."""
