@@ -604,6 +604,80 @@ def q_clip_to_cell(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# per-tile metadata dim join + predicate-pushdown read
+# ---------------------------------------------------------------------------
+
+def _tile_metadata_sql() -> str:
+    from ..sources.metadata import metadata_sql_values
+
+    return f"""
+    WITH {synth.MENTIONS_SQL}, assigned AS (
+      SELECT url, mention_idx,
+             {synth.sql_tx('lon', 13)} AS tx, {synth.sql_ty('lat', 13)} AS ty
+      FROM mentions
+    ),
+    dim AS (SELECT * FROM (VALUES {metadata_sql_values()})
+            d(tx, ty, locale, water))
+    SELECT a.url, a.mention_idx, a.tx, a.ty,
+           coalesce(d.locale, 'default') AS locale,
+           coalesce(d.water, 0) AS water
+    FROM assigned a LEFT JOIN dim d ON d.tx = a.tx AND d.ty = a.ty
+    """
+
+
+@register("tile_metadata_join", _tile_metadata_sql())
+def q_tile_metadata_join(sf_dir: str):
+    """Per-tile metadata lookup (MapMetadataMbtilesUtil analogue): the
+    small dim table is broadcast once (ray.put) and joined by a
+    vectorized searchsorted inside map_batches — never a shuffle for a
+    dim-table-sized side."""
+    import ray
+
+    from ..sources.metadata import TileMetadataJoin, tile_metadata_table
+
+    dim_ref = ray.put(tile_metadata_table())
+    ds = datasets.mentions_ds(sf_dir)
+    ds = ds.map_batches(
+        lambda b: tile_assign.assign_tiles(b, zoom=13), batch_format="pyarrow"
+    ).select_columns(["url", "mention_idx", "tx", "ty"])
+    return ds.map_batches(
+        TileMetadataJoin,
+        fn_constructor_kwargs={"dim_ref": dim_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+_PRUNE_LO, _PRUNE_HI = 100, 299
+
+
+@register(
+    "read_pruned",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+    """,
+)
+def q_read_pruned(sf_dir: str):
+    """Predicate-pushdown read (GeodeskReader.getData(bounds) analogue,
+    GeodeskReader.java:37-207): the bbox predicate becomes a key-range
+    filter pushed into the parquet scan — only matching row groups are
+    decoded, only the two projected columns leave storage. In the
+    production layout pages are tile-partitioned, so a bbox resolves to
+    contiguous key ranges exactly like this one."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    expr = (pc.field("doc_id") >= _PRUNE_LO) & (pc.field("doc_id") <= _PRUNE_HI)
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        filter=expr,
+    )
+
+
+# ---------------------------------------------------------------------------
 # deduplication family (documents table)
 # ---------------------------------------------------------------------------
 
@@ -1290,33 +1364,37 @@ def q_parse_tags(sf_dir: str):
 
     from ..functions import parsers as P
 
+    def milli(v):
+        return None if v is None else int(math.floor(v * 1000 + 0.5))
+
+    def rgb(c):
+        return None if c is None else (c[0] << 16) | (c[1] << 8) | c[2]
+
+    def csv(v):
+        return None if v is None else ",".join(map(str, v))
+
+    # parse each raw VARIANT exactly once (4-5 distinct strings), then
+    # vectorized take per row — the per-row work is one int gather
+    speed_v = pa.array([milli(P.parse_speed(v)) for v in _SPEED_RAW], pa.int64())
+    meas_v = pa.array([milli(P.parse_measure(v)) for v in _MEASURE_RAW], pa.int64())
+    ang_v = pa.array([milli(P.parse_angle(v)) for v in _ANGLE_RAW], pa.int64())
+    col_v = pa.array([rgb(P.parse_color(v)) for v in _COLOR_RAW], pa.int64())
+    lev_v = pa.array([csv(P.parse_levels(v)) for v in _LEVELS_RAW], pa.string())
+    inc_v = pa.array([milli(P.parse_incline(v)) for v in _INCLINE_RAW], pa.int64())
+
     def parse_batch(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy()
-
-        def milli(v):
-            return None if v is None else int(math.floor(v * 1000 + 0.5))
-
-        def rgb(c):
-            return None if c is None else (c[0] << 16) | (c[1] << 8) | c[2]
-
-        def csv(v):
-            return None if v is None else ",".join(map(str, v))
-
-        speed = [milli(P.parse_speed(_SPEED_RAW[d % 4])) for d in doc_id]
-        meas = [milli(P.parse_measure(_MEASURE_RAW[d % 5])) for d in doc_id]
-        ang = [milli(P.parse_angle(_ANGLE_RAW[d % 4])) for d in doc_id]
-        col = [rgb(P.parse_color(_COLOR_RAW[d % 4])) for d in doc_id]
-        lev = [csv(P.parse_levels(_LEVELS_RAW[d % 4])) for d in doc_id]
-        inc = [milli(P.parse_incline(_INCLINE_RAW[d % 4])) for d in doc_id]
+        i4 = pa.array(doc_id % 4)
+        i5 = pa.array(doc_id % 5)
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "speed_mmh": pa.array(speed, type=pa.int64()),
-                "measure_mm": pa.array(meas, type=pa.int64()),
-                "angle_mdeg": pa.array(ang, type=pa.int64()),
-                "color_rgb": pa.array(col, type=pa.int64()),
-                "levels_csv": pa.array(lev, type=pa.string()),
-                "incline_mpct": pa.array(inc, type=pa.int64()),
+                "speed_mmh": speed_v.take(i4),
+                "measure_mm": meas_v.take(i5),
+                "angle_mdeg": ang_v.take(i4),
+                "color_rgb": col_v.take(i4),
+                "levels_csv": lev_v.take(i4),
+                "incline_mpct": inc_v.take(i4),
             }
         )
 
@@ -1836,24 +1914,34 @@ def q_classify_tags(sf_dir: str):
 
     ds = datasets.mentions_ds(sf_dir)
 
+    def classify_one(s: str) -> tuple[int, int, int, int, int]:
+        try:
+            tags = T.parse_tags(s)
+        except T.DuplicateKeyError:
+            return (0, 0, 0, 0, 1)
+        return (
+            int(T.classify_area(tags)),
+            int(any(T.is_land_tag(t) for t in tags)),
+            int(any(T.is_sea_tag(t) for t in tags)),
+            int(T.is_relevant_relation(tags)),
+            0,
+        )
+
     def classify(b: pa.Table) -> pa.Table:
         tag_strs = b["tags"].to_pylist()
+        # classify each DISTINCT tag string once (8 synth variants; at
+        # corpus scale distinct tag-sets are still tiny vs rows)
+        cache: dict[str, tuple[int, int, int, int, int]] = {}
         is_area, is_land, is_sea, is_rel, err = [], [], [], [], []
         for s in tag_strs:
-            try:
-                tags = T.parse_tags(s)
-            except T.DuplicateKeyError:
-                is_area.append(0)
-                is_land.append(0)
-                is_sea.append(0)
-                is_rel.append(0)
-                err.append(1)
-                continue
-            is_area.append(int(T.classify_area(tags)))
-            is_land.append(int(any(T.is_land_tag(t) for t in tags)))
-            is_sea.append(int(any(T.is_sea_tag(t) for t in tags)))
-            is_rel.append(int(T.is_relevant_relation(tags)))
-            err.append(0)
+            r = cache.get(s)
+            if r is None:
+                r = cache[s] = classify_one(s)
+            is_area.append(r[0])
+            is_land.append(r[1])
+            is_sea.append(r[2])
+            is_rel.append(r[3])
+            err.append(r[4])
         return pa.table(
             {
                 "url": b["url"],
