@@ -743,31 +743,119 @@ def q_dedup_exact(sf_dir: str):
 )
 def q_dedup_jaccard_pairs(sf_dir: str):
     """Character-set Jaccard similarity join within each source
-    (DuckDB jaccard() semantics): shuffle by the bounded source key,
-    bitmap-popcount pairwise kernel per group."""
-    from ..stages.dedup import charset_jaccard_pairs
+    (DuckDB jaccard() semantics), skew-safe:
 
+    1. rows reduce to 256-bit char BITMAPS before any shuffle (32
+       bytes/row — the fan-out never ships text);
+    2. triangle-block salting: each source's pair space is tiled into
+       (i, j) block pairs over ``doc_id % n_blocks``, so a hot source
+       costs many bounded tasks instead of one O(n^2) straggler (the
+       hot-cell salting discipline of ``stages/tile_assign.py``
+       applied to a self-join key);
+    3. bounded-bucket shuffle on hash(source, i, j), bitmap-popcount
+       Jaccard per block pair.
+
+    n_blocks is fixed here (group sizes are uniform at test scale); at
+    corpus scale it is derived from a count pre-pass per source like
+    ``tile_assign.hot_cells_of``."""
+    from ..stages import overlaps
+    from ..stages.dedup import char_bitmaps, make_salted_jaccard_pairs, salted_block_rows
+
+    n_blocks = 4
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text", "source"])
-    return ds.groupby("source").map_groups(
-        charset_jaccard_pairs, batch_format="pandas"
+
+    def to_bitmaps(b: pa.Table) -> pa.Table:
+        bm = char_bitmaps(b["text"])
+        out = {"doc_id": b["doc_id"], "source": b["source"]}
+        for w in range(4):
+            out[f"bm{w}"] = pa.array(bm[:, w])
+        return pa.table(out)
+
+    ds = ds.map_batches(to_bitmaps, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: salted_block_rows(b, n_blocks=n_blocks), batch_format="pyarrow"
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from ..functions import polyhash as ph
+
+        # stable int key from (source, i, j)
+        sh = ph.head_hash(b["source"], n_chars=64)
+        key = (
+            sh * (n_blocks * n_blocks)
+            + b["blk_i"].to_numpy() * n_blocks
+            + b["blk_j"].to_numpy()
+        )
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        make_salted_jaccard_pairs(n_blocks), batch_format="pandas"
     )
 
 
-@register("dedup_minhash_lsh")  # no SQL oracle: blake2b shingle hashes
+def _minhash_lsh_sql(threshold: float = 0.8) -> str:
+    from ..functions import polyhash as ph
+
+    return f"""
+    WITH {ph.SQL_BP_CTE},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({ph.SQL_SHINGLES}) AS s FROM toks),
+    hashes AS (SELECT DISTINCT doc_id, {ph.sql_hash('s')} AS h FROM sh, bp),
+    perm AS (SELECT * FROM (VALUES {ph.sql_perm_values()}) p(j, a, b, c, d)),
+    sig AS (SELECT doc_id, j, min((a * h + b) % {ph.P}) AS sig
+            FROM hashes, perm GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, j // {ph.ROWS_PER_BAND} AS band,
+                     sum((sig * {ph.sql_band_coeff_case(f'j % {ph.ROWS_PER_BAND}')})
+                         % {ph.P}) % {ph.P} AS bh
+              FROM sig GROUP BY doc_id, j // {ph.ROWS_PER_BAND}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM hashes GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+              FROM cand c
+              JOIN hashes ha ON ha.doc_id = c.doc_a
+              JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              GROUP BY c.doc_a, c.doc_b),
+    jac AS (SELECT i.doc_a, i.doc_b,
+                   i.ni::DOUBLE / (sa.nsh + sb.nsh - i.ni) AS j
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(floor(j * 1000 + 0.5) AS BIGINT) AS jaccard_mil
+    FROM jac WHERE j >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql())
 def q_dedup_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified
-    (threshold 0.8): shingle -> 64-perm signature -> band explode ->
-    bounded-bucket shuffle on (band, band_hash) -> candidate pairs ->
-    broadcast-text verification -> dedup. Deterministic; rows-only
-    check (hash functions not expressible in SQL)."""
-    import pandas as pd
-    import ray
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold
+    0.8 over the distinct shingle-hash sets). The 100 TB-safe shape:
 
+    1. vectorized signature stage (polyhash family, no per-shingle
+       Python) -> band rows carrying the full 8-band hash vector;
+    2. ONE bounded-bucket shuffle on (band, band_hash); candidate
+       pairs deduped in-bucket by FIRST-MATCHING-BAND ownership — the
+       min-corner ownership rule of ``stages/overlaps.py`` in
+       signature space, so no repartition(1)/second shuffle;
+    3. verification joins candidates back to per-doc shingle-hash
+       SETS via two bounded-bucket shuffle-joins (bucket by doc_a,
+       attach; re-bucket by doc_b, attach) — the corpus is never
+       broadcast and no actor holds more than its bucket.
+    """
     from ..stages import overlaps
-    from ..stages.dedup import JaccardVerify, MinHashStage, bucket_candidate_pairs
+    from ..stages.dedup import (
+        MinHashStage,
+        ShingleHashes,
+        attach_shingles,
+        lsh_candidate_pairs,
+        verify_pairs,
+    )
 
-    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
-    bands = ds.map_batches(
+    docs = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    bands = docs.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
     )
 
@@ -777,40 +865,212 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
     cands = bands.groupby("bucket").map_groups(
-        bucket_candidate_pairs, batch_format="pandas"
+        lsh_candidate_pairs, batch_format="pandas"
     )
 
-    import pyarrow.parquet as pq
+    def sh_ds():
+        return datasets.documents_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
+            ShingleHashes, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+        )
 
-    texts_ref = ray.put(
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    _EMPTY_SH = np.empty(0, dtype=np.int64)
+
+    def pair_rows(side: str):
+        def fn(df):
+            import pandas as pd
+
+            out = df.copy()
+            out["kind"] = np.int64(0)
+            out["sh"] = pd.Series(
+                [_EMPTY_SH] * len(df), index=df.index, dtype=object
+            )
+            out["bucket"] = overlaps.bucket_of(df[side].to_numpy(dtype=np.int64))
+            return out
+
+        return fn
+
+    def shingle_rows(df):
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "doc_a": df["doc_id"].astype(np.int64),
+                "doc_b": np.full(len(df), -1, dtype=np.int64),
+                "kind": np.ones(len(df), dtype=np.int64),
+                "sh": df["sh"],
+                "bucket": overlaps.bucket_of(df["doc_id"].to_numpy(dtype=np.int64)),
+            }
+        )
+        return out
+
+    def conform(df, cols):
+        return df[cols]
+
+    cols1 = ["doc_a", "doc_b", "kind", "sh", "bucket"]
+    j1 = (
+        cands.map_batches(pair_rows("doc_a"), batch_format="pandas")
+        .map_batches(lambda d: conform(d, cols1), batch_format="pandas")
+        .union(
+            sh_ds()
+            .map_batches(shingle_rows, batch_format="pandas")
+            .map_batches(lambda d: conform(d, cols1), batch_format="pandas")
+        )
     )
-    verified = cands.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": 0.8},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
+    att1 = j1.groupby("bucket").map_groups(
+        lambda g: attach_shingles(g, "doc_a", "a_sh"), batch_format="pandas"
     )
 
-    def dedup_pairs(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def pair_rows2(df):
+        import pandas as pd
 
-    return verified.repartition(1).map_batches(
-        dedup_pairs, batch_format="pyarrow", batch_size=None
+        out = df.copy()
+        out["kind"] = np.int64(0)
+        out["sh"] = pd.Series([_EMPTY_SH] * len(df), index=df.index, dtype=object)
+        out["bucket"] = overlaps.bucket_of(df["doc_b"].to_numpy(dtype=np.int64))
+        return out
+
+    def shingle_rows2(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_id"].astype(np.int64),
+                "doc_b": np.full(len(df), -1, dtype=np.int64),
+                "a_sh": pd.Series([_EMPTY_SH] * len(df), dtype=object),
+                "kind": np.ones(len(df), dtype=np.int64),
+                "sh": df["sh"],
+                "bucket": overlaps.bucket_of(df["doc_id"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    cols2 = ["doc_a", "doc_b", "a_sh", "kind", "sh", "bucket"]
+    j2 = (
+        att1.map_batches(pair_rows2, batch_format="pandas")
+        .map_batches(lambda d: conform(d, cols2), batch_format="pandas")
+        .union(
+            sh_ds()
+            .map_batches(shingle_rows2, batch_format="pandas")
+            .map_batches(lambda d: conform(d, cols2), batch_format="pandas")
+        )
+    )
+    att2 = j2.groupby("bucket").map_groups(
+        lambda g: attach_shingles(g, "doc_b", "b_sh"), batch_format="pandas"
+    )
+    return att2.map_batches(
+        lambda g: verify_pairs(g, threshold=0.8), batch_format="pandas"
     )
 
 
-@register("dedup_simhash")  # no SQL oracle: blake2b token hashes
+def _simhash_sql() -> str:
+    from ..functions import polyhash as ph
+
+    return f"""
+    WITH {ph.SQL_BP_CTE},
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    th AS (SELECT doc_id, {ph.sql_hash('w')} AS h FROM t, bp),
+    perm AS (SELECT * FROM (VALUES {ph.sql_perm_values()}) p(j, a, b, c, d)),
+    bits AS (SELECT doc_id, j,
+                    CASE WHEN ((((c * h + d) % {ph.P}) // 1073741824) % 2) = 1
+                         THEN 1 ELSE 0 END AS bit
+             FROM th, perm),
+    agg AS (SELECT doc_id, j,
+                   CASE WHEN sum(bit) * 2 > count(*) THEN 1 ELSE 0 END AS maj
+            FROM bits GROUP BY doc_id, j),
+    sim AS (SELECT doc_id,
+                   sum(CASE WHEN maj = 1 THEN
+                         CASE WHEN j = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << j) END
+                       ELSE 0 END)::BIGINT AS simhash
+            FROM agg GROUP BY doc_id)
+    """
+
+
+@register("dedup_simhash", _simhash_sql() + "SELECT doc_id, simhash FROM sim")
 def q_dedup_simhash(sf_dir: str):
-    """64-bit SimHash fingerprint per document (deterministic;
-    rows-only check)."""
+    """64-bit SimHash fingerprint per document — vectorized polyhash
+    bit hashes, majority-vote pack; bit-identical SQL oracle."""
     from ..stages.dedup import SimHashStage
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
         SimHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+    )
+
+
+def _simhash_corpus_sql() -> str:
+    """documents + first-token-dropped mutations (doc_id + 10^6) — the
+    near-dup corpus for the Hamming join (the base corpus has no
+    near-identical texts at test scale)."""
+    return """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN strpos(text, ' ') > 0
+                  THEN substring(text, strpos(text, ' ') + 1)
+                  ELSE text END AS text
+      FROM documents
+    )
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_sql().replace("FROM documents", "FROM corpus").replace(
+        "WITH ", f"WITH {_simhash_corpus_sql()}, ", 1
+    )
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+    """,
+)
+def q_dedup_simhash_pairs(sf_dir: str):
+    """Banded Hamming-distance join over SimHash fingerprints: 8 bands
+    of 8 bits; pigeonhole guarantees every pair with distance <= 7
+    shares a band; ONE bounded-bucket shuffle on (band, band_key);
+    first-matching-band ownership dedups across bands in-bucket. Input
+    corpus = documents + deterministic first-token-dropped mutations
+    (so real near-dups exist at every scale)."""
+    from ..stages import overlaps
+    from ..stages.dedup import (
+        SimHashStage,
+        hamming_candidate_pairs,
+        simhash_band_rows,
+    )
+
+    docs = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = pc.find_substring(b["text"], " ")
+        txt = b["text"].to_pylist()
+        mut = [
+            t[p + 1 :] if p >= 0 else t
+            for t, p in zip(txt, pos.to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.compute.add(b["doc_id"], 1000000),
+                "text": pa.array(mut, type=pa.string()),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
+    sims = corpus.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+    )
+    bands = sims.map_batches(simhash_band_rows, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b["band_key"].to_numpy() * 8 + b["band"].to_numpy()
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
+
+    bands = bands.map_batches(add_bucket, batch_format="pyarrow")
+    return bands.groupby("bucket").map_groups(
+        hamming_candidate_pairs, batch_format="pandas"
     )
 
 
@@ -861,9 +1121,34 @@ def q_fingerprint_md5(sf_dir: str):
     )
 
 
-@register("lang_id")  # heuristic -> rows-only check
+def _lang_id_sql() -> str:
+    from ..stages.textstats import _LANG_STOPWORDS
+
+    prof_rows = ", ".join(
+        f"('{lang}', '{w}', {pri})"
+        for pri, (lang, words) in enumerate(_LANG_STOPWORDS.items())
+        for w in sorted(words)
+    )
+    return f"""
+    WITH prof AS (SELECT * FROM (VALUES {prof_rows}) p(lang, w, pri)),
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             FROM documents),
+    hits AS (SELECT t.doc_id, p.lang, p.pri, count(DISTINCT t.w) AS n
+             FROM toks t JOIN prof p ON p.w = t.w
+             GROUP BY t.doc_id, p.lang, p.pri),
+    best AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n DESC, pri ASC) AS rk
+             FROM hits WHERE n > 0)
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_guess
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+    """
+
+
+@register("lang_id", _lang_id_sql())
 def q_lang_id(sf_dir: str):
-    """Stopword-profile language guess per document."""
+    """Stopword-profile language guess per document (strict-majority
+    hit count, profile order breaks ties, zero hits -> 'und')."""
     from ..stages.textstats import LangId
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
@@ -991,10 +1276,24 @@ def q_dedup_embedding_cosine(sf_dir: str):
     )
 
 
-@register("fingerprint_rolling")  # rolling-hash primitive -> rows-only
+def _fingerprint_sql() -> str:
+    from ..functions import polyhash as ph
+
+    return f"""
+    WITH {ph.SQL_BP_CTE},
+    heads AS (SELECT doc_id, md5(text) AS md5,
+                     substring(text, 1, 64) AS hd
+              FROM documents)
+    SELECT doc_id, md5, {ph.sql_hash('hd')} AS head_hash
+    FROM heads, bp
+    """
+
+
+@register("fingerprint_rolling", _fingerprint_sql())
 def q_fingerprint_rolling(sf_dir: str):
-    """Document fingerprints: md5 + polynomial rolling hash of the
-    first 64 chars (the shingle-pipeline primitive)."""
+    """Document fingerprints: md5 + the 31-bit polynomial rolling hash
+    of the first 64 chars (the shingle-pipeline primitive), both with
+    exact SQL mirrors."""
     from ..stages.textstats import Fingerprint
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])

@@ -7,34 +7,40 @@ large-scale text-dedup family a 100 TB web corpus needs:
 
 - exact: content-hash -> hash-partitioned groupby -> first-per-group
 - MinHash + LSH banding: shingle -> minhash sig -> band explode ->
-  groupby(band, band_hash) -> candidate pairs -> Jaccard verify
-- SimHash: 64-bit token-weight fingerprint (Hamming near-dup key)
-- n-gram Jaccard verification kernel
+  groupby(bucket of (band, band_hash)) -> candidate pairs with
+  FIRST-MATCHING-BAND ownership (the min-corner ownership dedup of
+  ``stages/overlaps.py`` lifted to signature space: a pair is emitted
+  only by the first band on which the two signatures agree — no
+  second shuffle, no repartition(1)) -> exact-Jaccard verification via
+  BUCKETED SHUFFLE-JOINS of candidate pairs back to the per-doc
+  shingle-hash sets (no corpus broadcast; two bounded-bucket joins,
+  one per pair side).
+- SimHash: 64-bit token-weight fingerprint + banded Hamming-distance
+  join (pigeonhole: distance <= k-1 guarantees one of k bands equal).
+- charset-Jaccard similarity join with TRIANGLE-BLOCK SALTING of hot
+  groups: rows are reduced to 256-bit char bitmaps BEFORE the fan-out,
+  each group's pair space is tiled into (i, j) block pairs so no
+  single task ever holds a skewed group's full O(n^2).
 
-All per-batch work is vectorized or bounded-loop Python over
-pre-tokenized arrays; signatures/hashes use deterministic integer
-mixing (splitmix-style), no external hash libs.
+All hashing uses the 31-bit polynomial family
+(:mod:`osm2world_ray.functions.polyhash`) — vectorized over byte
+matrices in numpy and bit-identically expressible in DuckDB SQL, so
+every query here has a real oracle.
 """
 
 from __future__ import annotations
 
 import hashlib
 
-from ._util import resolve_ref as _resolve
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_MASK64 = (1 << 64) - 1
+from ..functions import polyhash as ph
 
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit mixer (public splitmix64 constants)."""
-    x = (x + 0x9E3779B97F4A7C15) & _MASK64
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
-    return x ^ (x >> 31)
+N_PERM = ph.N_PERM
+N_BANDS = ph.N_BANDS
+ROWS_PER_BAND = ph.ROWS_PER_BAND
 
 
 def md5_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -45,11 +51,28 @@ def md5_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("md5", pa.array(digests, type=pa.string()))
 
 
+# ---------------------------------------------------------------------------
+# scalar reference helpers (pytest oracles; the stages are vectorized)
+# ---------------------------------------------------------------------------
+
+def _scalar_hash(s: str) -> int:
+    h = 0
+    for byte in s.encode("utf-8"):
+        h = (h * ph.B + byte) % ph.P
+    return h
+
+
 def token_ngrams(text: str, n: int = 3) -> set[str]:
-    toks = text.split()
+    """Shingle strings (single-space split, string_split(' ')
+    semantics; < n tokens -> the whole token list joined)."""
+    toks = text.split(" ")
     if len(toks) < n:
-        return {" ".join(toks)} if toks else set()
+        return {" ".join(toks)}
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def shingle_hash_set(text: str, n: int = 3) -> set[int]:
+    return {_scalar_hash(g) for g in token_ngrams(text, n)}
 
 
 def jaccard(a: set, b: set) -> float:
@@ -59,188 +82,398 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-# ---------------------------------------------------------------------------
-# MinHash
-# ---------------------------------------------------------------------------
-
-N_PERM = 64
-N_BANDS = 8
-ROWS_PER_BAND = N_PERM // N_BANDS
-
-
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Stable uint64 hashes of token n-grams (blake2b-seeded)."""
-    grams = token_ngrams(text, n)
-    if not grams:
-        return np.zeros(1, dtype=np.uint64)
-    return np.array(
-        [
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
-            for g in grams
-        ],
-        dtype=np.uint64,
+def minhash_signature(text: str, n: int = 3) -> np.ndarray:
+    """Reference (row-at-a-time) MinHash signature."""
+    hs = np.array(sorted(shingle_hash_set(text, n)), dtype=np.int64)
+    return ((ph.PERM_A[None, :] * hs[:, None] + ph.PERM_B[None, :]) % ph.P).min(
+        axis=0
     )
 
 
-def minhash_signature(text: str, n: int = 3) -> np.ndarray:
-    """64-permutation MinHash signature via one-mix-per-permutation:
-    sig[p] = min over shingles of splitmix64(h ^ seed_p)."""
-    h = _shingle_hashes(text, n)
-    seeds = _splitmix64(np.arange(1, N_PERM + 1, dtype=np.uint64))
-    mixed = _splitmix64((h[:, None] ^ seeds[None, :]).astype(np.uint64))
-    return mixed.min(axis=0)
+def simhash64(text: str) -> int:
+    """Reference 64-bit SimHash (unsigned int)."""
+    toks = text.split(" ")
+    hs = np.array([_scalar_hash(t) for t in toks], dtype=np.int64)
+    G = (ph.SIM_C[None, :] * hs[:, None] + ph.SIM_D[None, :]) % ph.P
+    bits = (G >> np.int64(30)) & np.int64(1)
+    maj = bits.sum(axis=0) * 2 > len(toks)
+    return int(
+        (maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64
+        )
+    )
 
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
 
 class MinHashStage:
-    """documents batch -> LSH band rows (doc_id, band, band_hash).
+    """documents batch -> LSH band rows
+    (doc_id, band, band_hash, bhs: list<int64>[8]).
 
-    One row per (doc, band); near-duplicate candidates are doc pairs
-    sharing a (band, band_hash) bucket — found by the downstream
-    ``groupby(["band", "band_hash"])`` shuffle.
+    Fully vectorized: tokenization via pyarrow split, polynomial token
+    hashes over a byte matrix, shingle hashes by hash composition,
+    per-doc distinct + signature mins via reduceat. Each band row
+    carries the doc's full 8-band hash vector ``bhs`` so the candidate
+    stage can apply first-matching-band ownership without any lookup.
     """
-
-    def __init__(self, ngram: int = 3):
-        self.ngram = ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
-        texts = batch["text"].to_pylist()
-        sigs = np.stack([minhash_signature(t, self.ngram) for t in texts])
-        bands = sigs.reshape(len(texts), N_BANDS, ROWS_PER_BAND)
-        # hash each band's row-group to one uint64
-        band_hash = bands[..., 0]
-        for i in range(1, ROWS_PER_BAND):
-            band_hash = _splitmix64(band_hash ^ bands[..., i])
-        out_doc = np.repeat(doc_ids, N_BANDS)
-        out_band = np.tile(np.arange(N_BANDS, dtype=np.int64), len(texts))
+        n = len(batch)
+        doc_off, tok_h, tok_lens = ph.split_tokens(batch["text"])
+        sh_doc, sh_h = ph.shingle_hashes(doc_off, tok_h, tok_lens)
+        du, hu = ph.distinct_per_doc(sh_doc, sh_h)
+        sigs = ph.minhash_sigs(du, hu, n)
+        bh = ph.band_hashes(sigs)  # (n, 8)
+        bhs_vals = pa.array(np.repeat(bh, N_BANDS, axis=0).reshape(-1))
         return pa.table(
             {
-                "doc_id": pa.array(out_doc),
-                "band": pa.array(out_band),
-                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(doc_ids, N_BANDS)),
+                "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int64), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "bhs": pa.FixedSizeListArray.from_arrays(bhs_vals, N_BANDS),
             }
         )
 
 
-def bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Hash-bucket of LSH band rows -> ordered candidate pairs.
-
-    ``group`` holds every (band, band_hash) bucket hashed into one
-    bounded shuffle bucket; within-bucket pair generation is the
-    vectorized cumsum machinery shared with the spatial self-join
-    (``overlaps._within_group_pairs``). Pairs may repeat across bands
-    — dedup downstream (after verification) with a small unique pass.
+def lsh_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of LSH band rows -> ordered candidate pairs, deduped by
+    FIRST-MATCHING-BAND ownership: the pair (a, b) is emitted only from
+    the band with the smallest index on which bhs_a == bhs_b. Each pair
+    therefore leaves exactly one bucket — the cross-band dedup needs no
+    extra shuffle (ownership-point precedent:
+    ``stages/overlaps.py`` min-corner rule; ``SpatialIndex.java:30-43``).
     """
     from .overlaps import _within_group_pairs
 
-    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                          "doc_b": pd.Series(dtype=np.int64)})
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype=np.int64),
+            "doc_b": pd.Series(dtype=np.int64),
+        }
+    )
     if len(group) < 2:
         return empty
     band = group["band"].to_numpy(dtype=np.int64)
     bh = group["band_hash"].to_numpy(dtype=np.int64)
     doc = group["doc_id"].to_numpy(dtype=np.int64)
+    bhs = np.stack(group["bhs"].to_numpy())  # (n, 8)
     order = np.lexsort((doc, bh, band))
-    band, bh, doc = band[order], bh[order], doc[order]
+    band, bh, doc, bhs = band[order], bh[order], doc[order], bhs[order]
     key_change = np.ones(len(doc), dtype=bool)
     key_change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
     sizes = np.diff(np.concatenate((np.nonzero(key_change)[0], [len(doc)])))
     ii, jj = _within_group_pairs(sizes)
     if len(ii) == 0:
         return empty
+    eq = bhs[ii] == bhs[jj]  # (npairs, 8); band[ii] column is True
+    first_match = eq.argmax(axis=1)
+    keep = (first_match == band[ii]) & (doc[ii] != doc[jj])
+    ii, jj = ii[keep], jj[keep]
     a, b = doc[ii], doc[jj]
     swap = a > b
     a, b = np.where(swap, b, a), np.where(swap, a, b)
-    keep = a != b
-    return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
 
 
-class JaccardVerify:
-    """Candidate pairs + broadcast text lookup -> verified pairs with
-    exact n-gram Jaccard >= threshold."""
-
-    def __init__(self, texts_ref, *, threshold: float = 0.8, ngram: int = 3):
-        t = _resolve(texts_ref)
-        self.texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-        self.threshold = threshold
-        self.ngram = ngram
+class ShingleHashes:
+    """documents batch -> (doc_id, sh: list<int64>) with the sorted
+    DISTINCT shingle-hash set per doc — the join side of the
+    verification shuffle (far cheaper to ship than the raw text)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
-        keep, jacc = [], []
-        for x, y in zip(a, b):
-            j = jaccard(
-                token_ngrams(self.texts[int(x)], self.ngram),
-                token_ngrams(self.texts[int(y)], self.ngram),
-            )
-            keep.append(j >= self.threshold)
-            jacc.append(j)
-        mask = pa.array(keep)
-        out = batch.filter(mask)
-        jacc_mil = np.floor(np.asarray(jacc, dtype=np.float64) * 1000 + 0.5).astype(np.int64)
-        return out.append_column(
-            "jaccard_mil", pa.array(jacc_mil[np.asarray(keep)])
-        )
-
-
-# ---------------------------------------------------------------------------
-# SimHash
-# ---------------------------------------------------------------------------
-
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unit weights)."""
-    toks = text.split()
-    if not toks:
-        return 0
-    hs = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in toks
-        ],
-        dtype=np.uint64,
-    )
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-    counts = bits.sum(axis=0)
-    vec = (counts * 2) > len(toks)
-    return int(np.packbits(vec[::-1]).view(">u8")[0])
-
-
-class SimHashStage:
-    """documents batch -> (doc_id, simhash int64)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        sh = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        n = len(batch)
+        doc_off, tok_h, tok_lens = ph.split_tokens(batch["text"])
+        sh_doc, sh_h = ph.shingle_hashes(doc_off, tok_h, tok_lens)
+        du, hu = ph.distinct_per_doc(sh_doc, sh_h)
+        counts = np.bincount(du, minlength=n)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": pa.array(sh.view(np.int64)),
+                "sh": pa.ListArray.from_arrays(pa.array(offsets), pa.array(hu)),
             }
         )
 
 
+def attach_shingles(group: pd.DataFrame, side: str, out_col: str) -> pd.DataFrame:
+    """One bucket of (candidate-pair rows, kind=0) + (shingle rows,
+    kind=1) co-shuffled on ``bucket_of(pair[side]) == bucket_of(doc_id)``
+    -> pair rows with ``out_col`` = that side's shingle array. This is
+    the scale-safe replacement for broadcasting the corpus: each bucket
+    sees only its own docs' shingle sets."""
+    kind = group["kind"].to_numpy()
+    sh_rows = group[kind == 1]
+    pairs = group[kind == 0]
+    out = pairs.drop(columns=["kind", "bucket", "sh"]).copy()
+    empty_sh = np.empty(0, dtype=np.int64)
+    if len(pairs) == 0:
+        out[out_col] = pd.Series(dtype=object)
+        return out
+    lut = dict(zip(sh_rows["doc_a"].to_numpy(), sh_rows["sh"].to_numpy()))
+    out[out_col] = pd.Series(
+        [np.asarray(lut.get(d, empty_sh), dtype=np.int64)
+         for d in pairs[side].to_numpy()],
+        index=out.index,
+        dtype=object,
+    )
+    return out
+
+
+def verify_pairs(group: pd.DataFrame, *, threshold: float) -> pd.DataFrame:
+    """Pair rows carrying both shingle arrays -> exact Jaccard filter
+    (over the distinct shingle-hash sets, matching the SQL oracle)."""
+    out = {
+        "doc_a": [],
+        "doc_b": [],
+        "jaccard_mil": [],
+    }
+    for da, db, a_sh, b_sh in zip(
+        group["doc_a"].to_numpy(),
+        group["doc_b"].to_numpy(),
+        group["a_sh"].to_numpy(),
+        group["b_sh"].to_numpy(),
+    ):
+        if a_sh is None or b_sh is None or len(a_sh) == 0 or len(b_sh) == 0:
+            continue
+        inter = np.intersect1d(a_sh, b_sh, assume_unique=True).size
+        union = len(a_sh) + len(b_sh) - inter
+        jac = inter / union if union else 1.0
+        if jac >= threshold:
+            out["doc_a"].append(int(da))
+            out["doc_b"].append(int(db))
+            out["jaccard_mil"].append(int(np.floor(jac * 1000 + 0.5)))
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(out["doc_a"], dtype=np.int64),
+            "doc_b": pd.Series(out["doc_b"], dtype=np.int64),
+            "jaccard_mil": pd.Series(out["jaccard_mil"], dtype=np.int64),
+        }
+    )
+
 
 # ---------------------------------------------------------------------------
-# character-set Jaccard similarity join (DuckDB jaccard() semantics)
+# SimHash + banded Hamming join
 # ---------------------------------------------------------------------------
 
-_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+class SimHashStage:
+    """documents batch -> (doc_id, simhash int64), vectorized."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_off, tok_h, _tok_lens = ph.split_tokens(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(ph.simhash64(doc_off, tok_h)),
+            }
+        )
+
+
+#: Hamming-join banding: k bands of 64/k bits find every pair with
+#: distance <= k-1 (pigeonhole). 8 bands -> threshold 7.
+HAM_BANDS = 8
+HAM_BITS = 64 // HAM_BANDS
+HAM_THRESHOLD = HAM_BANDS - 1
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.int64).view(np.uint64)) ^ (b.astype(np.int64).view(np.uint64))
+    return _POPCNT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> one row per Hamming band with the band's
+    bit-slice as the key; the full fingerprint rides along (8 bytes)."""
+    doc = batch["doc_id"].to_numpy()
+    sim = batch["simhash"].to_numpy()
+    u = sim.view(np.uint64)
+    n = len(doc)
+    bands = np.arange(HAM_BANDS, dtype=np.uint64)
+    keys = ((u[:, None] >> (bands[None, :] * HAM_BITS))
+            & np.uint64((1 << HAM_BITS) - 1)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc, HAM_BANDS)),
+            "simhash": pa.array(np.repeat(sim, HAM_BANDS)),
+            "band": pa.array(np.tile(np.arange(HAM_BANDS, dtype=np.int64), n)),
+            "band_key": pa.array(keys.reshape(-1)),
+        }
+    )
+
+
+def hamming_candidate_pairs(group: pd.DataFrame,
+                            threshold: int = HAM_THRESHOLD) -> pd.DataFrame:
+    """Bucket of simhash band rows -> pairs with Hamming distance <=
+    threshold, deduped by first-matching-band ownership (same rule as
+    the MinHash candidates — the band slices of the two fingerprints
+    decide the owner, derivable in-bucket)."""
+    from .overlaps import _within_group_pairs
+
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype=np.int64),
+            "doc_b": pd.Series(dtype=np.int64),
+            "hamming": pd.Series(dtype=np.int64),
+        }
+    )
+    if len(group) < 2:
+        return empty
+    band = group["band"].to_numpy(dtype=np.int64)
+    key = group["band_key"].to_numpy(dtype=np.int64)
+    doc = group["doc_id"].to_numpy(dtype=np.int64)
+    sim = group["simhash"].to_numpy(dtype=np.int64)
+    order = np.lexsort((doc, key, band))
+    band, key, doc, sim = band[order], key[order], doc[order], sim[order]
+    key_change = np.ones(len(doc), dtype=bool)
+    key_change[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    sizes = np.diff(np.concatenate((np.nonzero(key_change)[0], [len(doc)])))
+    ii, jj = _within_group_pairs(sizes)
+    if len(ii) == 0:
+        return empty
+    keep = doc[ii] != doc[jj]
+    ii, jj = ii[keep], jj[keep]
+    ham = hamming64(sim[ii], sim[jj])
+    keep = ham <= threshold
+    ii, jj, ham = ii[keep], jj[keep], ham[keep]
+    if len(ii) == 0:
+        return empty
+    # first band where the two fingerprints' slices agree
+    ua = sim[ii].view(np.uint64)
+    ub = sim[jj].view(np.uint64)
+    bands = np.arange(HAM_BANDS, dtype=np.uint64)
+    mask = np.uint64((1 << HAM_BITS) - 1)
+    slice_eq = (
+        ((ua[:, None] >> (bands[None, :] * HAM_BITS)) & mask)
+        == ((ub[:, None] >> (bands[None, :] * HAM_BITS)) & mask)
+    )
+    keep = slice_eq.argmax(axis=1) == band[ii]
+    ii, jj, ham = ii[keep], jj[keep], ham[keep]
+    a, b = doc[ii], doc[jj]
+    swap = a > b
+    a, b = np.where(swap, b, a), np.where(swap, a, b)
+    return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": ham})
+
+
+# ---------------------------------------------------------------------------
+# charset-Jaccard similarity join with triangle-block salting
+# ---------------------------------------------------------------------------
+
+def char_bitmaps(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """(n, 4) uint64 bitmap of each text's distinct BYTES (ASCII corpus:
+    DuckDB jaccard() character-set semantics). Rows reduce to 32 bytes
+    BEFORE any shuffle — the salted fan-out replicates bitmaps, never
+    texts."""
+    off, data = ph._string_bytes(texts)
+    n = len(off) - 1
+    bm = np.zeros((n, 256), dtype=bool)
+    row = np.repeat(np.arange(n, dtype=np.int64), off[1:] - off[:-1])
+    bm[row, data.astype(np.int64)] = True
+    packed = np.packbits(bm.reshape(n, 4, 64), axis=-1, bitorder="little")
+    return packed.reshape(n, 32).view(np.uint64).reshape(n, 4)
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.int64)
+
+
+def _pop_rows(words: np.ndarray) -> np.ndarray:
+    """popcount over (npairs, 4) uint64 -> int64[npairs]."""
+    v16 = words.view(np.uint16).reshape(len(words), -1)
+    return _POP16[v16].sum(axis=1)
+
+
+def salted_block_rows(batch: pa.Table, *, n_blocks: int) -> pa.Table:
+    """(doc_id, source, bm0..bm3) rows -> triangle-block fan-out: row in
+    block v = doc_id % n_blocks is shipped to every group (source, i, j)
+    with i <= j and v in {i, j}. Group (i, j) holds blocks i and j and
+    emits i-block x j-block pairs (i == j: within-block). No task ever
+    sees more than 2/n_blocks of a group — the skew bound. Replication
+    factor = n_blocks per row, but rows are 32-byte bitmaps, not texts.
+    """
+    doc = batch["doc_id"].to_numpy()
+    n = len(doc)
+    v = (doc % n_blocks).astype(np.int64)
+    # targets for row with block v: (i=v, j=v..n_blocks-1) and (i=0..v-1, j=v)
+    reps = np.full(n, n_blocks, dtype=np.int64)
+    idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+    k = np.arange(len(idx), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    vv = v[idx]
+    i = np.where(k <= vv, k, vv)
+    j = np.where(k <= vv, vv, k)
+    out = batch.take(pa.array(idx))
+    return (
+        out.append_column("blk_i", pa.array(i))
+        .append_column("blk_j", pa.array(j))
+    )
+
+
+def make_salted_jaccard_pairs(n_blocks: int, threshold: float = 0.5):
+    """Returns the per-bucket kernel bound to the fan-out's n_blocks."""
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "jaccard_mil": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        src = group["source"].to_numpy()
+        bi = group["blk_i"].to_numpy(dtype=np.int64)
+        bj = group["blk_j"].to_numpy(dtype=np.int64)
+        doc = group["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, bj, bi, src))
+        src, bi, bj, doc = src[order], bi[order], bj[order], doc[order]
+        bm = np.stack(
+            [group[f"bm{w}"].to_numpy() for w in range(4)], axis=1
+        ).astype(np.uint64)[order]
+        key_change = np.ones(len(doc), dtype=bool)
+        key_change[1:] = (
+            (src[1:] != src[:-1]) | (bi[1:] != bi[:-1]) | (bj[1:] != bj[:-1])
+        )
+        from .overlaps import _within_group_pairs
+
+        sizes = np.diff(np.concatenate((np.nonzero(key_change)[0], [len(doc)])))
+        ii, jj = _within_group_pairs(sizes)
+        if len(ii) == 0:
+            return empty
+        row_blk = doc % n_blocks
+        cross = bi[ii] != bj[ii]
+        opposite = row_blk[ii] != row_blk[jj]
+        keep = (~cross) | opposite
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return empty
+        inter = _pop_rows(bm[ii] & bm[jj])
+        union = np.maximum(_pop_rows(bm[ii] | bm[jj]), 1)
+        jac = inter.astype(np.float64) / union.astype(np.float64)
+        keep = jac >= threshold
+        ii, jj, jac = ii[keep], jj[keep], jac[keep]
+        a, b = doc[ii], doc[jj]
+        swap = a > b
+        a, b = np.where(swap, b, a), np.where(swap, a, b)
+        return pd.DataFrame(
+            {
+                "doc_a": a,
+                "doc_b": b,
+                "jaccard_mil": np.floor(jac * 1000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return kernel
 
 
 def charset_jaccard_pairs(group: pd.DataFrame, *, threshold: float = 0.5
                           ) -> pd.DataFrame:
-    """All doc pairs in the group with character-set Jaccard >=
-    threshold (DuckDB ``jaccard()`` semantics: case-sensitive distinct
-    characters, |A∩B| / |A∪B|).
-
-    Vectorization: each text's character set becomes a fixed-width
-    bitmap over the group's alphabet; pairwise intersect/union are
-    AND/OR + popcount over uint64 words — O(n^2 * words) numpy ops, no
-    per-pair Python. Group = one partition of a bounded shuffle key
-    (here: the ``source`` column), the same discipline as the spatial
-    pairwise joins.
-    """
+    """Unsalted per-group kernel (kept as the pytest reference; the
+    registered query uses the salted triangle-block path)."""
     empty = pd.DataFrame(
         {
             "doc_a": pd.Series(dtype=np.int64),
@@ -255,28 +488,16 @@ def charset_jaccard_pairs(group: pd.DataFrame, *, threshold: float = 0.5
     order = np.argsort(doc, kind="stable")
     doc = doc[order]
     texts = group["text"].to_numpy()[order]
-    sets = [frozenset(t) for t in texts]
-    alphabet = sorted(set().union(*sets))
-    pos = {c: i for i, c in enumerate(alphabet)}
-    words = (len(alphabet) + 63) // 64
-    bm = np.zeros((n, words), dtype=np.uint64)
-    for i, s in enumerate(sets):
-        for c in s:
-            p = pos[c]
-            bm[i, p >> 6] |= np.uint64(1) << np.uint64(p & 63)
-
+    bm = char_bitmaps(pa.array(list(texts)))
     ii, jj = np.triu_indices(n, k=1)
-    inter_bits = bm[ii] & bm[jj]
-    union_bits = bm[ii] | bm[jj]
-    inter = _POP[inter_bits.view(np.uint8)].reshape(len(ii), -1).sum(axis=1)
-    union = _POP[union_bits.view(np.uint8)].reshape(len(ii), -1).sum(axis=1)
-    union = np.maximum(union, 1)
-    jacc = inter.astype(np.float64) / union.astype(np.float64)
-    keep = jacc >= threshold
+    inter = _pop_rows(bm[ii] & bm[jj])
+    union = np.maximum(_pop_rows(bm[ii] | bm[jj]), 1)
+    jac = inter.astype(np.float64) / union.astype(np.float64)
+    keep = jac >= threshold
     return pd.DataFrame(
         {
             "doc_a": doc[ii[keep]],
             "doc_b": doc[jj[keep]],
-            "jaccard_mil": np.floor(jacc[keep] * 1000 + 0.5).astype(np.int64),
+            "jaccard_mil": np.floor(jac[keep] * 1000 + 0.5).astype(np.int64),
         }
     )

@@ -87,28 +87,25 @@ class LangId:
 class Fingerprint:
     """documents batch -> (doc_id, md5 hex, head_hash int64).
 
-    md5 matches DuckDB's md5() for the oracle; head_hash is a
-    polynomial rolling hash of the first 64 chars (base 257 mod
-    2^61-1), the rolling-fingerprint primitive for shingle pipelines.
+    md5 matches DuckDB's md5(); head_hash is the 31-bit polynomial
+    rolling hash of the first 64 chars (the shingle-pipeline
+    primitive, :mod:`osm2world_ray.functions.polyhash`) — vectorized
+    over the byte matrix and bit-identical to the SQL oracle's
+    char-sum formula.
     """
 
-    MOD = (1 << 61) - 1
-    BASE = 257
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        from ..functions import polyhash as ph
+
         texts = batch["text"]
         md5s = texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
-
-        def roll(t: str) -> int:
-            h = 0
-            for ch in t[:64]:
-                h = (h * self.BASE + ord(ch)) % self.MOD
-            return h
-
+        hh = ph.head_hash(pa.array(texts.to_numpy(), type=pa.string()))
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
                 "md5": md5s,
-                "head_hash": texts.map(roll).astype(np.int64),
+                "head_hash": hh,
             }
         )
