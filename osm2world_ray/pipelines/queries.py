@@ -1228,51 +1228,96 @@ def q_knn_brute_cosine(sf_dir: str):
     """,
 )
 def q_dedup_embedding_cosine(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (cos >= 0.35): broadcast
-    normalized matrix, per-batch blocked matmul against it, ordered
-    pairs owned by the batch holding the lower vec_id. At corpus scale
-    the broadcast side becomes the LSH/IVF bucketed index; this is the
-    exact baseline."""
-    import pyarrow.parquet as pq
-    import ray
+    """EXACT embedding-cosine near-duplicate pairs (cos >= 0.35) as a
+    triangle-block salted self-join: rows reduce to (vec_id, embedding)
+    and fan out to (blk_i, blk_j) block-pair groups; each bounded task
+    does ONE i-block x j-block matmul. No full-matrix broadcast, no
+    task sees more than 2/n_blocks of the data; exact by construction
+    (every pair lands in exactly one block group). The sub-quadratic
+    scale path is ``dedup_embedding_lsh``."""
+    from ..stages import overlaps
+    from ..stages.ann import make_blocked_cosine_pairs
+    from ..stages.dedup import salted_block_rows
 
-    from ..stages.ann import _embedding_matrix, _normalize
+    n_blocks = 4
+    ds = datasets.embeddings_ds(sf_dir)
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet").select(
-        ["vec_id", "embedding"]
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b["vec_id"], "emb": b["embedding"]})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: salted_block_rows(b, n_blocks=n_blocks, key_col="vec_id"),
+        batch_format="pyarrow",
     )
-    ref = ray.put(full)
 
-    class CosinePairs:
-        def __init__(self, threshold: float = 0.35):
-            from ..stages._util import resolve_ref
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b["blk_i"].to_numpy() * n_blocks + b["blk_j"].to_numpy()
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
 
-            t = resolve_ref(ref)
-            self.all_ids = t["vec_id"].to_numpy()
-            self.M = _normalize(_embedding_matrix(t))
-            self.threshold = threshold
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        make_blocked_cosine_pairs(n_blocks, 0.35), batch_format="pandas"
+    )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy()
-            emb = _normalize(_embedding_matrix(batch))
-            sims = emb @ self.M.T  # (nb, N)
-            # ordered pairs: this batch's row owns pairs where its id is smaller
-            ii, jj = np.nonzero(
-                (sims >= self.threshold) & (ids[:, None] < self.all_ids[None, :])
-            )
-            return pa.table(
-                {
-                    "vec_a": pa.array(ids[ii]),
-                    "vec_b": pa.array(self.all_ids[jj]),
-                    "cos_udeg": pa.array(
-                        np.floor(sims[ii, jj] * 1e6 + 0.5).astype(np.int64)
-                    ),
-                }
-            )
+
+def _lsh_pairs_sql(threshold: float = 0.35) -> str:
+    from ..stages.ann import _planes
+
+    planes = _planes()
+    rows = ", ".join(
+        f"({n}, {i + 1}, {v!r})"
+        for n, row in enumerate(planes)
+        for i, v in enumerate(row)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    planes AS (SELECT * FROM (VALUES {rows}) p(n, i, v)),
+    dots AS (SELECT e.vec_id, p.n, sum(e.emb[p.i] * p.v) AS d
+             FROM e, planes p GROUP BY e.vec_id, p.n),
+    buck AS (SELECT vec_id,
+                    sum(CASE WHEN d > 0 THEN (1::BIGINT << n) ELSE 0 END)
+                      AS bucket
+             FROM dots GROUP BY vec_id)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor(list_cosine_similarity(ea.emb, eb.emb) * 1000000 + 0.5)
+                AS BIGINT) AS cos_udeg
+    FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ea.emb, eb.emb) >= {threshold}
+    """
+
+
+@register("dedup_embedding_lsh", _lsh_pairs_sql())
+def q_dedup_embedding_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup join — the sub-quadratic scale
+    path: each vector hashes to ONE random-hyperplane bucket; pairs are
+    scored only within a bucket (one bounded-bucket shuffle, per-bucket
+    matmuls). Approximate by construction; the oracle replicates the
+    same deterministic bucketing, so the check is exact."""
+    from ..stages import overlaps
+    from ..stages.ann import _buckets, _embedding_matrix, _normalize, _planes, lsh_bucket_cosine_pairs
 
     ds = datasets.embeddings_ds(sf_dir)
-    return ds.map_batches(
-        CosinePairs, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+    planes = _planes()
+
+    def prep(b: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(b))
+        lb = _buckets(emb, planes)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "emb": b["embedding"],
+                "lsh_bucket": pa.array(lb),
+                "bucket": pa.array(overlaps.bucket_of(lb)),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        lambda g: lsh_bucket_cosine_pairs(g, threshold=0.35),
+        batch_format="pandas",
     )
 
 
@@ -1302,7 +1347,52 @@ def q_fingerprint_rolling(sf_dir: str):
     )
 
 
-@register("ann_ivf_cosine")  # approximate -> rows-only check
+def _ivf_sql(nprobe: int = 4) -> str:
+    from ..stages.ann import DIM
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    dims AS (SELECT unnest(range(1, {DIM} + 1)) AS i),
+    cent AS (SELECT label, i, avg(emb[i]) AS c FROM e, dims GROUP BY label, i),
+    centv AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS q_id, emb AS qe FROM e
+          WHERE vec_id < {_N_ANN_QUERIES}),
+    qprobe AS (
+      SELECT q_id, label,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(qe, cvec) DESC, label) AS rk
+      FROM q, centv
+    ),
+    assign AS (
+      SELECT vec_id, label FROM (
+        SELECT e.vec_id, c.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                          c.label) AS rk
+        FROM e, centv c
+      ) WHERE rk = 1
+    ),
+    cands AS (
+      SELECT qp.q_id, e.vec_id,
+             list_cosine_similarity(qq.qe, e.emb) AS cos
+      FROM qprobe qp
+      JOIN assign a ON a.label = qp.label AND qp.rk <= {nprobe}
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN q qq ON qq.q_id = qp.q_id
+      WHERE e.vec_id <> qp.q_id
+    ),
+    ranked AS (SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS rank
+               FROM cands)
+    SELECT q_id, rank, vec_id,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_udeg
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("ann_ivf_cosine", _ivf_sql())
 def q_ann_ivf_cosine(sf_dir: str):
     """IVF-style approximate cosine top-5: distributed per-label
     centroid computation (combiner + tree merge), broadcast coarse
@@ -1335,7 +1425,44 @@ def q_ann_ivf_cosine(sf_dir: str):
     )
 
 
-@register("ann_lsh_cosine")  # approximate -> rows-only check
+def _lsh_sql() -> str:
+    from ..stages.ann import _planes
+
+    planes = _planes()
+    rows = ", ".join(
+        f"({n}, {i + 1}, {v!r})"
+        for n, row in enumerate(planes)
+        for i, v in enumerate(row)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    planes AS (SELECT * FROM (VALUES {rows}) p(n, i, v)),
+    dots AS (SELECT e.vec_id, p.n, sum(e.emb[p.i] * p.v) AS d
+             FROM e, planes p GROUP BY e.vec_id, p.n),
+    buck AS (SELECT vec_id,
+                    sum(CASE WHEN d > 0 THEN (1::BIGINT << n) ELSE 0 END)
+                      AS bucket
+             FROM dots GROUP BY vec_id),
+    q AS (SELECT e.vec_id AS q_id, e.emb AS qe, b.bucket AS qb
+          FROM e JOIN buck b ON b.vec_id = e.vec_id
+          WHERE e.vec_id < {_N_ANN_QUERIES}),
+    cands AS (
+      SELECT q.q_id, e.vec_id, list_cosine_similarity(q.qe, e.emb) AS cos
+      FROM q JOIN buck b ON b.bucket = q.qb
+      JOIN e ON e.vec_id = b.vec_id
+      WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS rank
+               FROM cands)
+    SELECT q_id, rank, vec_id,
+           CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_udeg
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("ann_lsh_cosine", _lsh_sql())
 def q_ann_lsh_cosine(sf_dir: str):
     """LSH-bucketed approximate cosine top-5 (random-hyperplane
     buckets as candidate pruning; deterministic planes)."""
@@ -1800,12 +1927,94 @@ def q_equidistribute_points(sf_dir: str):
     )
 
 
-@register("scatter_points")  # java.util.Random stream -> rows-only check
+def _scatter_sql() -> str:
+    """The java.util.Random stream in closed form: S_n = (A_n*S_0 +
+    C_n) mod 2^48 with the (A, C) pairs for every 4th step embedded as
+    a VALUES table, so the oracle reproduces each candidate's two
+    nextDouble() draws without iterating the LCG."""
+    from ..stages.linework import (
+        _LCG_A,
+        _LCG_ADD,
+        _LCG_C,
+        _LCG_MULT,
+        POINTS_PER_BOX,
+        ScatterPoints,
+    )
+
+    bs = ScatterPoints().box_size
+    m48 = 1 << 48
+    # candidates per mention <= nbx(<=3) * nbz(<=2) * 100
+    max_g = 600
+    lcg_rows = ", ".join(
+        f"({4 * g}, {int(_LCG_A[4 * g])}, {int(_LCG_C[4 * g])})"
+        for g in range(max_g)
+    )
+    step = (
+        "(({m} ::HUGEINT * {{s}} + {a}) % {m48})::BIGINT".format(
+            m=_LCG_MULT, a=_LCG_ADD, m48=m48
+        )
+    )
+    return f"""
+    WITH {synth.MENTIONS_SQL},
+    params AS (
+      SELECT url, mention_idx, doc_id,
+             lon - {synth.RLON} AS min_x, lon + {synth.RLON} AS max_x,
+             lat - {synth.RLAT} AS min_z, lat + {synth.RLAT} AS max_z
+      FROM mentions
+    ),
+    p2 AS (
+      SELECT *,
+             CAST(floor((max_x - min_x) / {bs!r}) AS BIGINT) + 1 AS nbx,
+             CAST(floor((max_z - min_z) / {bs!r}) AS BIGINT) + 1 AS nbz,
+             xor(doc_id * 4 + mention_idx, {_LCG_MULT}) AS s0
+      FROM params
+    ),
+    cand AS (
+      SELECT p2.*, unnest(range(0, nbx * nbz * {POINTS_PER_BOX})) AS g
+      FROM p2
+    ),
+    lcg AS (SELECT * FROM (VALUES {lcg_rows}) l(n, a, c)),
+    st AS (
+      SELECT cand.*,
+             ((l.a::HUGEINT * cand.s0 + l.c) % {m48})::BIGINT AS s4g
+      FROM cand JOIN lcg l ON l.n = 4 * cand.g
+    ),
+    d1 AS (SELECT *, {step.format(s='s4g')} AS s1 FROM st),
+    d2 AS (SELECT *, {step.format(s='s1')} AS s2 FROM d1),
+    d3 AS (SELECT *, {step.format(s='s2')} AS s3 FROM d2),
+    d4 AS (SELECT *, {step.format(s='s3')} AS s4 FROM d3),
+    pts AS (
+      SELECT url, mention_idx, g, min_x, max_x, min_z, max_z,
+        (min_x + {bs!r} * ((g // {POINTS_PER_BOX}) % nbx))
+          + {bs!r} * ((((s1 // 4194304) * 134217728 + (s2 // 2097152))::DOUBLE)
+                      * {2.0 ** -53!r}) AS x,
+        (min_z + {bs!r} * ((g // {POINTS_PER_BOX}) // nbx))
+          + {bs!r} * ((((s3 // 4194304) * 134217728 + (s4 // 2097152))::DOUBLE)
+                      * {2.0 ** -53!r}) AS z
+      FROM d4
+    ),
+    kept AS (
+      SELECT url, mention_idx, g, x, z
+      FROM pts
+      WHERE min_x <= x AND x <= max_x AND min_z <= z AND z <= max_z
+    )
+    SELECT url, mention_idx,
+           row_number() OVER (PARTITION BY url, mention_idx ORDER BY g) - 1
+             AS point_idx,
+           CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS px_udeg,
+           CAST(floor(z * 1000000 + 0.5) AS BIGINT) AS py_udeg
+    FROM kept
+    """
+
+
+@register("scatter_points", _scatter_sql())
 def q_scatter_points(sf_dir: str):
     """Seeded pseudo-random point scattering on mention footprints
     (GeometryUtil.distributePointsOn, GeometryUtil.java:718-798) with
     bit-exact java.util.Random parity; seed = mention key (the forest
-    scattering seeds with the area id, TreeModule.java:545)."""
+    scattering seeds with the area id, TreeModule.java:545). Vectorized
+    via the closed-form LCG; the oracle replays the identical stream in
+    SQL."""
     from ..stages.linework import ScatterPoints
 
     ds = datasets.mentions_ds(sf_dir)

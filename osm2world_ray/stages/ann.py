@@ -130,6 +130,121 @@ def _buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     )
 
 
+def make_blocked_cosine_pairs(n_blocks: int, threshold: float):
+    """Per-bucket kernel for the EXACT cosine near-dup self-join over
+    triangle-block-salted rows (``dedup.salted_block_rows`` on vec_id):
+    each (blk_i, blk_j) run does one i-block x j-block matmul — the
+    full-matrix broadcast of the naive exact join replaced by bounded
+    block tasks (work is still O(n^2/ n_blocks^2) per task by
+    construction; exactness is the point, the LSH variant is the
+    sub-quadratic path)."""
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype=np.int64),
+                "vec_b": pd.Series(dtype=np.int64),
+                "cos_udeg": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        vec = group["vec_id"].to_numpy(dtype=np.int64)
+        bi = group["blk_i"].to_numpy(dtype=np.int64)
+        bj = group["blk_j"].to_numpy(dtype=np.int64)
+        emb = _normalize(np.stack(group["emb"].to_numpy()).astype(np.float64))
+        order = np.lexsort((vec, bj, bi))
+        vec, bi, bj, emb = vec[order], bi[order], bj[order], emb[order]
+        change = np.ones(len(vec), dtype=bool)
+        change[1:] = (bi[1:] != bi[:-1]) | (bj[1:] != bj[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate((starts[1:], [len(vec)]))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            v = vec[s:e]
+            m = emb[s:e]
+            if bi[s] == bj[s]:
+                sims = m @ m.T
+                ii, jj = np.nonzero(
+                    (sims >= threshold) & (v[:, None] < v[None, :])
+                )
+                a, b, c = v[ii], v[jj], sims[ii, jj]
+            else:
+                side_i = (v % n_blocks) == bi[s]
+                mi, mj = m[side_i], m[~side_i]
+                vi, vj = v[side_i], v[~side_i]
+                sims = mi @ mj.T
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b, c = vi[ii], vj[jj], sims[ii, jj]
+                swap = a > b
+                a, b = np.where(swap, b, a), np.where(swap, a, b)
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(c)
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        return pd.DataFrame(
+            {
+                "vec_a": a,
+                "vec_b": b,
+                "cos_udeg": np.floor(c * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
+def lsh_bucket_cosine_pairs(group: pd.DataFrame, *, threshold: float
+                            ) -> pd.DataFrame:
+    """Per-bucket kernel for the LSH-bucketed near-dup join: rows carry
+    (vec_id, emb, lsh_bucket); pairs are scored only within an LSH
+    bucket — the sub-quadratic scale path (each vector lives in exactly
+    one bucket, so no cross-bucket dedup is needed)."""
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype=np.int64),
+            "vec_b": pd.Series(dtype=np.int64),
+            "cos_udeg": pd.Series(dtype=np.int64),
+        }
+    )
+    if len(group) < 2:
+        return empty
+    vec = group["vec_id"].to_numpy(dtype=np.int64)
+    lb = group["lsh_bucket"].to_numpy(dtype=np.int64)
+    emb = _normalize(np.stack(group["emb"].to_numpy()).astype(np.float64))
+    order = np.lexsort((vec, lb))
+    vec, lb, emb = vec[order], lb[order], emb[order]
+    change = np.ones(len(vec), dtype=bool)
+    change[1:] = lb[1:] != lb[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.concatenate((starts[1:], [len(vec)]))
+    out_a, out_b, out_c = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        v = vec[s:e]
+        m = emb[s:e]
+        sims = m @ m.T
+        ii, jj = np.nonzero((sims >= threshold) & (v[:, None] < v[None, :]))
+        out_a.append(v[ii])
+        out_b.append(v[jj])
+        out_c.append(sims[ii, jj])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos_udeg": np.floor(np.concatenate(out_c) * 1e6 + 0.5).astype(
+                np.int64
+            ),
+        }
+    )
+
+
 class IVFTopK:
     """IVF-style approximate top-k: candidates pruned to the
     ``nprobe`` coarse cells nearest each query.

@@ -385,15 +385,17 @@ def _pop_rows(words: np.ndarray) -> np.ndarray:
     return _POP16[v16].sum(axis=1)
 
 
-def salted_block_rows(batch: pa.Table, *, n_blocks: int) -> pa.Table:
-    """(doc_id, source, bm0..bm3) rows -> triangle-block fan-out: row in
-    block v = doc_id % n_blocks is shipped to every group (source, i, j)
-    with i <= j and v in {i, j}. Group (i, j) holds blocks i and j and
-    emits i-block x j-block pairs (i == j: within-block). No task ever
-    sees more than 2/n_blocks of a group — the skew bound. Replication
-    factor = n_blocks per row, but rows are 32-byte bitmaps, not texts.
+def salted_block_rows(batch: pa.Table, *, n_blocks: int,
+                      key_col: str = "doc_id") -> pa.Table:
+    """Triangle-block fan-out for exact self-joins: row in block
+    v = key % n_blocks is shipped to every group (i, j) with i <= j and
+    v in {i, j}. Group (i, j) holds blocks i and j and emits i-block x
+    j-block pairs (i == j: within-block). No task ever sees more than
+    2/n_blocks of a group — the skew bound. Replication factor =
+    n_blocks per row, so reduce rows to their join payload (char
+    bitmaps, normalized embeddings) BEFORE fanning out.
     """
-    doc = batch["doc_id"].to_numpy()
+    doc = batch[key_col].to_numpy()
     n = len(doc)
     v = (doc % n_blocks).astype(np.int64)
     # targets for row with block v: (i=v, j=v..n_blocks-1) and (i=0..v-1, j=v)

@@ -172,6 +172,38 @@ class JavaRandom:
 
 POINTS_PER_BOX = 100
 
+#: closed-form LCG: S_n = (A[n] * S_0 + C[n]) mod 2^48 — makes the
+#: java.util.Random candidate stream random-ACCESSIBLE, so scattering
+#: vectorizes over all candidates at once and the DuckDB oracle can
+#: reproduce every draw from (seed, draw index) without iterating.
+_MAX_DRAWS = 4096
+_LCG_A = np.empty(_MAX_DRAWS + 1, dtype=np.uint64)
+_LCG_C = np.empty(_MAX_DRAWS + 1, dtype=np.uint64)
+_a, _c = 1, 0
+for _n in range(_MAX_DRAWS + 1):
+    _LCG_A[_n] = _a
+    _LCG_C[_n] = _c
+    _a = (_a * _LCG_MULT) & _LCG_MASK
+    _c = (_c * _LCG_MULT + _LCG_ADD) & _LCG_MASK
+
+
+_M24 = np.uint64((1 << 24) - 1)
+_M48 = np.uint64(_LCG_MASK)
+
+
+def _mulmod48(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod 2^48 for uint64 arrays < 2^48, overflow-free via
+    24-bit limb splitting."""
+    a1, a0 = a >> np.uint64(24), a & _M24
+    b1, b0 = b >> np.uint64(24), b & _M24
+    mid = (a1 * b0 + a0 * b1) & _M24  # * 2^24 mod 2^48 keeps low 24 bits
+    return ((mid << np.uint64(24)) + a0 * b0) & _M48
+
+
+def lcg_states(s0: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """State of java.util.Random after n steps from scrambled seed s0."""
+    return (_mulmod48(_LCG_A[n], s0) + _LCG_C[n]) & _M48
+
 
 def distribute_points_on_rect(seed: int, min_x: float, min_z: float,
                               max_x: float, max_z: float,
@@ -200,42 +232,81 @@ def distribute_points_on_rect(seed: int, min_x: float, min_z: float,
 class ScatterPoints:
     """mentions batch -> scattered points in each mention's footprint,
     seeded by the mention key (deterministic per row, like the forest
-    scattering seeded by area id, ``TreeModule.java:545``)."""
+    scattering seeded by area id, ``TreeModule.java:545``).
+
+    Bit-exact ``distribute_points_on_rect`` semantics, fully
+    vectorized: every candidate draw is addressed by its closed-form
+    LCG state (``lcg_states``), so the whole batch is one fan-out +
+    numpy arithmetic instead of per-mention Python Random streams.
+    """
 
     def __init__(self, *, density: float = 100.0 / (0.02 * 0.02)):
         self.density = density
+        self.box_size = float(np.sqrt(100.0 / density))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy()
         lon = batch["lon"].to_numpy()
-        urls = batch["url"].to_pylist()
-        midx = batch["mention_idx"].to_numpy()
-        out_url, out_m, out_i, out_x, out_y = [], [], [], [], []
-        for i, u in enumerate(urls):
-            doc_id = int(u[len(synth.URL_PREFIX):])
-            seed = doc_id * 4 + int(midx[i])
-            pts = distribute_points_on_rect(
-                seed,
-                lon[i] - synth.RLON, lat[i] - synth.RLAT,
-                lon[i] + synth.RLON, lat[i] + synth.RLAT,
-                self.density,
-            )
-            for j, (x, z) in enumerate(pts):
-                out_url.append(u)
-                out_m.append(int(midx[i]))
-                out_i.append(j)
-                out_x.append(x)
-                out_y.append(z)
+        midx = batch["mention_idx"].to_numpy().astype(np.int64)
+        doc = pa.compute.utf8_slice_codeunits(
+            batch["url"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        bs = self.box_size
+
+        min_x = lon - synth.RLON
+        max_x = lon + synth.RLON
+        min_z = lat - synth.RLAT
+        max_z = lat + synth.RLAT
+        nbx = (
+            (max_x - min_x) / bs
+        ).astype(np.int64) + 1  # int() truncation == floor (positive)
+        nbz = ((max_z - min_z) / bs).astype(np.int64) + 1
+        seed = (doc * 4 + midx).astype(np.uint64)
+        s0 = (seed ^ np.uint64(_LCG_MULT)) & _M48
+
+        nc = nbx * nbz * POINTS_PER_BOX
+        total = int(nc.sum())
+        row = np.repeat(np.arange(len(nc), dtype=np.int64), nc)
+        starts = np.concatenate(([0], np.cumsum(nc)[:-1]))
+        g = np.arange(total, dtype=np.int64) - np.repeat(starts, nc)
+
+        box = g // POINTS_PER_BOX
+        box_x = box % nbx[row]
+        # draws 4g+1..4g+4 hold (x_hi, x_lo, z_hi, z_lo)
+        s4g = lcg_states(s0[row], (4 * g).astype(np.int64))
+
+        def step(s):
+            return (_mulmod48(np.uint64(_LCG_MULT), s) + np.uint64(_LCG_ADD)) & _M48
+
+        s1 = step(s4g)
+        s2 = step(s1)
+        s3 = step(s2)
+        s4 = step(s3)
+        xd = (((s1 >> np.uint64(22)) << np.uint64(27))
+              + (s2 >> np.uint64(21))).astype(np.float64) * (2.0 ** -53)
+        zd = (((s3 >> np.uint64(22)) << np.uint64(27))
+              + (s4 >> np.uint64(21))).astype(np.float64) * (2.0 ** -53)
+        bx = min_x[row] + bs * box_x
+        bz = min_z[row] + bs * (box // nbx[row])
+        x = bx + bs * xd
+        z = bz + bs * zd
+        keep = (
+            (min_x[row] <= x) & (x <= max_x[row])
+            & (min_z[row] <= z) & (z <= max_z[row])
+        )
+        row_k, x_k, z_k = row[keep], x[keep], z[keep]
+        # point_idx = rank among the mention's kept candidates (g order)
+        kept_per_row = np.bincount(row_k, minlength=len(nc))
+        k_starts = np.concatenate(([0], np.cumsum(kept_per_row)[:-1]))
+        point_idx = np.arange(len(row_k), dtype=np.int64) - np.repeat(
+            k_starts, kept_per_row
+        )
         return pa.table(
             {
-                "url": pa.array(out_url, type=pa.string()),
-                "mention_idx": pa.array(out_m, type=pa.int64()),
-                "point_idx": pa.array(out_i, type=pa.int64()),
-                "px_udeg": pa.array(
-                    np.floor(np.asarray(out_x) * 1e6 + 0.5).astype(np.int64)
-                ),
-                "py_udeg": pa.array(
-                    np.floor(np.asarray(out_y) * 1e6 + 0.5).astype(np.int64)
-                ),
+                "url": batch.select(["url"]).take(pa.array(row_k))["url"],
+                "mention_idx": pa.array(midx[row_k]),
+                "point_idx": pa.array(point_idx),
+                "px_udeg": pa.array(np.floor(x_k * 1e6 + 0.5).astype(np.int64)),
+                "py_udeg": pa.array(np.floor(z_k * 1e6 + 0.5).astype(np.int64)),
             }
         )

@@ -176,6 +176,51 @@ def test_scatter_points_inside_and_deterministic():
     assert all(-1.0 <= x <= -0.96 and 2.0 <= z <= 2.02 for x, z in pts)
 
 
+def test_vectorized_scatter_matches_loop_reference():
+    """Closed-form LCG candidate addressing must replay the sequential
+    java.util.Random stream bit-for-bit."""
+    import pyarrow as pa
+
+    from osm2world_ray.sources import synth
+    from osm2world_ray.stages.linework import (
+        ScatterPoints,
+        distribute_points_on_rect,
+    )
+
+    lat = np.array([48.52, 43.7])
+    lon = np.array([13.42, -3.3])
+    urls = [f"{synth.URL_PREFIX}{d}" for d in [5, 77]]
+    batch = pa.table(
+        {
+            "url": pa.array(urls),
+            "mention_idx": pa.array([0, 1], type=np.int64),
+            "lat": pa.array(lat),
+            "lon": pa.array(lon),
+        }
+    )
+    sp = ScatterPoints()
+    got = sp(batch).to_pandas()
+    rows = []
+    for i, u in enumerate(urls):
+        d = int(u[len(synth.URL_PREFIX):])
+        pts = distribute_points_on_rect(
+            d * 4 + i,
+            lon[i] - synth.RLON, lat[i] - synth.RLAT,
+            lon[i] + synth.RLON, lat[i] + synth.RLAT,
+            sp.density,
+        )
+        rows.extend(
+            (u, i, j, int(np.floor(x * 1e6 + 0.5)), int(np.floor(z * 1e6 + 0.5)))
+            for j, (x, z) in enumerate(pts)
+        )
+    exp = pd.DataFrame(
+        rows, columns=["url", "mention_idx", "point_idx", "px_udeg", "py_udeg"]
+    )
+    got = got.sort_values(["url", "point_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["url", "point_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries: run twice, identical result (determinism invariant)
 # ---------------------------------------------------------------------------
