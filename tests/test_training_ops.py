@@ -193,7 +193,7 @@ def test_vectorized_scatter_matches_loop_reference():
     batch = pa.table(
         {
             "url": pa.array(urls),
-            "mention_idx": pa.array([0, 1], type=np.int64),
+            "mention_idx": pa.array([0, 1], type=pa.int64()),
             "lat": pa.array(lat),
             "lon": pa.array(lon),
         }
