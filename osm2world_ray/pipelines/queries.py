@@ -2189,15 +2189,23 @@ def q_overlap_components(sf_dir: str):
         db = pa.compute.utf8_slice_codeunits(
             b["url_b"], len(synth.URL_PREFIX), 99
         ).cast(pa.int64()).to_numpy()
+        # SPATIAL edge bucket: the src mention's r=5 cell (recomputed
+        # from the deterministic coordinates) — locality keeps the
+        # cross-bucket quotient boundary-sized (components.py docs)
+        ja = b["mention_idx_a"].to_numpy()
+        lat, lon = synth.mention_latlon(da, ja)
+        ix = np.floor((lon + 180.0) * 32.0).astype(np.int64)
+        iy = np.floor((lat + 90.0) * 32.0).astype(np.int64)
         return pa.table(
             {
-                "src": pa.array(da * 4 + b["mention_idx_a"].to_numpy()),
+                "src": pa.array(da * 4 + ja),
                 "dst": pa.array(db * 4 + b["mention_idx_b"].to_numpy()),
+                "bucket": pa.array((ix << 32) | iy),
             }
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
-    labels = connected_components(nodes, edges)
+    labels = connected_components(nodes, edges, edges_have_bucket=True)
 
     def decode(b: pa.Table) -> pa.Table:
         node = b["node"].to_numpy()

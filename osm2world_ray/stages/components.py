@@ -3,30 +3,27 @@
 
 Reference: ``SimpleEleConstraintEnforcer`` (``SimpleEleConstraintEnforcer
 .java:18-228``) unions connectors into equal-elevation StiffSets — an
-in-memory union-find. Distributed shape: TWO-LEVEL CONTRACTION:
+in-memory union-find. Distributed shape: TWO-LEVEL CONTRACTION with a
+RECURSIVE fallback:
 
-1. **local union-find per edge bucket** (one bounded-bucket shuffle):
-   each partition unions its edges and emits (node, local_root).
-2. **quotient graph to the driver**: a node seen in several buckets
-   with different local roots proves those roots connected; the
-   conflict edges between roots form the quotient graph, which is
-   small when the partition key preserves locality. A driver-side
-   union-find over the quotient (plus a broadcast remap) finishes.
-
-Partitioning assumption (documented per the custom-operator rule):
-the quotient holds one vertex per node whose edges span more than one
-bucket. With the default hashed edge key that is O(nodes with >=2
-edges) — fine up to ~10^8 quotient vertices on the driver; at 10^12
-scale the edge bucket key must be SPATIALLY derived (the overlap
-edges come from the cell self-join, so cell-keyed buckets contract
-most components locally and the quotient stays boundary-sized), or
-the contraction must recurse on the quotient instead of collecting
-it.
-
-An earlier iterative min-label-propagation version converged in
-O(diameter) Ray pipelines; per-round fixed costs made it strictly
-worse than this one-shuffle + tiny-driver-step design at every scale
-we can measure.
+1. **local components per edge bucket** (one bounded-bucket shuffle):
+   each partition contracts its edges with a VECTORIZED
+   hook-and-compress union-find (Shiloach–Vishkin style: min-label
+   hooking via ``np.minimum.at`` + pointer-jumping compression,
+   O(E log V) numpy ops, no per-edge Python) and emits (node,
+   local_root).
+2. **quotient graph**: a node seen in several buckets with different
+   local roots proves those roots connected; the conflict edges
+   between roots form the quotient. When the edge bucket key is
+   SPATIALLY derived (pass ``bucket`` on the edges — the overlap
+   self-join's cell already is one), most components contract inside
+   one bucket and the quotient stays boundary-sized.
+3. **finish**: a small quotient is solved on the driver and broadcast
+   back; a quotient above ``max_driver_quotient`` RECURSES — the
+   conflicts become the next level's edge set and the final labels
+   come back via one more bounded-bucket join. Depth grows with
+   log(contraction ratio), not data size, so 10^12-edge graphs never
+   materialize anything driver-side.
 """
 
 from __future__ import annotations
@@ -37,45 +34,49 @@ import pyarrow as pa
 
 from .overlaps import bucket_of
 
+#: quotients up to this many edges finish on the driver; larger ones
+#: recurse (sandbox-scale threshold; production sets this to what one
+#: driver comfortably holds, e.g. 10^7)
+MAX_DRIVER_QUOTIENT = 1_000_000
 
-class UnionFind:
-    """Path-halving union-by-smaller-root (min-label semantics)."""
 
-    def __init__(self):
-        self.parent: dict[int, int] = {}
+def np_union_find(src: np.ndarray, dst: np.ndarray):
+    """Vectorized min-label union-find over one bucket's edges.
 
-    def find(self, x: int) -> int:
-        p = self.parent
-        while p.get(x, x) != x:
-            p[x] = p.get(p[x], p[x])
-            x = p[x]
-        return x
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra == rb:
-            return
-        if rb < ra:
-            ra, rb = rb, ra
-        self.parent[rb] = ra
+    Returns (nodes, roots): the unique nodes and, per node, the
+    smallest node id reachable in this edge set. Hook-and-compress:
+    every round hooks each edge's larger current label to the smaller
+    (conflicts resolved by ``np.minimum.at``), then compresses by
+    pointer jumping; rounds are O(log V).
+    """
+    both = np.concatenate([src, dst])
+    nodes, inv = np.unique(both, return_inverse=True)
+    a = inv[: len(src)]
+    b = inv[len(src):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        ra, rb = parent[a], parent[b]
+        ne = ra != rb
+        if not ne.any():
+            break
+        lo = np.minimum(ra[ne], rb[ne])
+        hi = np.maximum(ra[ne], rb[ne])
+        np.minimum.at(parent, hi, lo)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    return nodes, nodes[parent]
 
 
 def local_roots(group: pd.DataFrame) -> pd.DataFrame:
     """One edge bucket -> (node, root) with root = min node reachable
-    within this bucket's edges."""
-    uf = UnionFind()
-    for s, d in zip(
+    within this bucket's edges (vectorized union-find)."""
+    nodes, roots = np_union_find(
         group["src"].to_numpy(dtype=np.int64),
         group["dst"].to_numpy(dtype=np.int64),
-    ):
-        uf.union(int(s), int(d))
-    nodes = np.unique(
-        np.concatenate(
-            [group["src"].to_numpy(dtype=np.int64),
-             group["dst"].to_numpy(dtype=np.int64)]
-        )
     )
-    roots = np.array([uf.find(int(n)) for n in nodes], dtype=np.int64)
     return pd.DataFrame({"node": nodes, "root": roots})
 
 
@@ -121,22 +122,65 @@ def node_min_roots_and_conflicts(group: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([k0, k1], ignore_index=True)
 
 
-def connected_components(nodes_ds, edges_ds):
-    """nodes: (node:int64); edges: (src, dst) one direction per pair.
-    Returns a Dataset (node, label) with label = min node id in the
-    component. Exactly TWO bucketed shuffles: edges -> local roots,
-    then (node, root) -> per-node min + quotient conflicts; the tiny
-    quotient union-find runs on the driver and the remap broadcasts
-    back into a final map (no further shuffle — each node has exactly
-    one row after the second pass)."""
+def _remap_join(group: pd.DataFrame) -> pd.DataFrame:
+    """Bucket co-group of (node, root, kind=0) rows and (root -> label,
+    kind=2) mapping rows; applies the mapping (identity default)."""
+    kind = group["kind"].to_numpy()
+    maps = group[kind == 2]
+    rows = group[kind == 0]
+    if len(rows) == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype=np.int64),
+                "label": pd.Series(dtype=np.int64),
+            }
+        )
+    keys = maps["root"].to_numpy(dtype=np.int64)
+    vals = maps["label"].to_numpy(dtype=np.int64)
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    root = rows["root"].to_numpy(dtype=np.int64)
+    lab = root.copy()
+    if len(keys):
+        pos = np.clip(np.searchsorted(keys, root), 0, len(keys) - 1)
+        hit = keys[pos] == root
+        lab[hit] = vals[pos[hit]]
+    return pd.DataFrame(
+        {"node": rows["node"].to_numpy(dtype=np.int64), "label": lab}
+    )
+
+
+def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
+                         depth: int = 0,
+                         max_driver_quotient: int = MAX_DRIVER_QUOTIENT):
+    """nodes: (node:int64) or None; edges: (src, dst[, bucket]) one
+    direction per pair. Returns a Dataset (node, label), label = min
+    node id in the component.
+
+    With ``edges_have_bucket`` the edges carry a SPATIALLY-derived
+    ``bucket`` key (e.g. the overlap cell that produced the edge) —
+    locality keeps the quotient boundary-sized; the fallback is a hash
+    of min(src, dst). ``nodes_ds=None`` skips the self rows (used by
+    the recursion, where every node has an edge).
+    """
     import ray
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        key = np.minimum(b["src"].to_numpy(), b["dst"].to_numpy())
-        return b.append_column("bucket", pa.array(bucket_of(key)))
+    if not edges_have_bucket:
+        def add_bucket(b: pa.Table) -> pa.Table:
+            key = np.minimum(b["src"].to_numpy(), b["dst"].to_numpy())
+            return b.append_column("bucket", pa.array(bucket_of(key)))
 
-    edges = edges_ds.map_batches(add_bucket, batch_format="pyarrow")
-    node_roots = edges.groupby("bucket").map_groups(
+        edges_ds = edges_ds.map_batches(add_bucket, batch_format="pyarrow")
+    else:
+        def rebucket(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index("bucket")
+            return b.set_column(
+                i, "bucket", pa.array(bucket_of(b["bucket"].to_numpy()))
+            )
+
+        edges_ds = edges_ds.map_batches(rebucket, batch_format="pyarrow")
+
+    node_roots = edges_ds.groupby("bucket").map_groups(
         local_roots, batch_format="pandas"
     )
 
@@ -145,42 +189,87 @@ def connected_components(nodes_ds, edges_ds):
             "is_self", pa.array(np.full(len(b), self_flag, dtype=np.int64))
         ).append_column("bucket", pa.array(bucket_of(b["node"].to_numpy())))
 
-    def bucket_rows(b: pa.Table) -> pa.Table:
-        return root_key(b, 0)
-
-    def self_rows(b: pa.Table) -> pa.Table:
-        return root_key(pa.table({"node": b["node"], "root": b["node"]}), 1)
-
-    all_roots = node_roots.map_batches(bucket_rows, batch_format="pyarrow").union(
-        nodes_ds.map_batches(self_rows, batch_format="pyarrow")
+    all_roots = node_roots.map_batches(
+        lambda b: root_key(b, 0), batch_format="pyarrow"
     )
+    if nodes_ds is not None:
+        def self_rows(b: pa.Table) -> pa.Table:
+            return root_key(pa.table({"node": b["node"], "root": b["node"]}), 1)
+
+        all_roots = all_roots.union(
+            nodes_ds.map_batches(self_rows, batch_format="pyarrow")
+        )
     mixed = all_roots.groupby("bucket").map_groups(
         node_min_roots_and_conflicts, batch_format="pandas"
     ).materialize()
 
-    quotient = mixed.filter(expr="kind == 1").select_columns(["ra", "rb"]).to_pandas()
-    uf = UnionFind()
-    for a, b in zip(quotient["ra"], quotient["rb"]):
-        uf.union(int(a), int(b))
-    keys = np.array(sorted(uf.parent), dtype=np.int64)
-    vals = np.array([uf.find(int(k)) for k in keys], dtype=np.int64)
-    remap_ref = ray.put((keys, vals))
+    quotient_ds = mixed.filter(expr="kind == 1").select_columns(["ra", "rb"])
+    n_quotient = quotient_ds.count()
+    kind0 = mixed.filter(expr="kind == 0").select_columns(["node", "root"])
 
-    def finalize(b: pa.Table) -> pa.Table:
-        from ._util import resolve_ref
+    if n_quotient == 0:
+        return kind0.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["root"]}),
+            batch_format="pyarrow",
+        )
 
-        keys_, vals_ = resolve_ref(remap_ref)
-        root = b["root"].to_numpy()
-        lab = root.copy()
-        if len(keys_):
-            pos = np.searchsorted(keys_, root)
-            pos = np.clip(pos, 0, len(keys_) - 1)
-            hit = keys_[pos] == root
-            lab[hit] = vals_[pos[hit]]
-        return pa.table({"node": b["node"], "label": pa.array(lab)})
+    if n_quotient <= max_driver_quotient or depth >= 3:
+        # small quotient: solve on the driver, broadcast the remap
+        q = quotient_ds.to_pandas()
+        keys, vals = np_union_find(
+            q["ra"].to_numpy(dtype=np.int64), q["rb"].to_numpy(dtype=np.int64)
+        )
+        remap_ref = ray.put((keys, vals))
 
-    return (
-        mixed.filter(expr="kind == 0")
-        .select_columns(["node", "root"])
-        .map_batches(finalize, batch_format="pyarrow")
+        def finalize(b: pa.Table) -> pa.Table:
+            from ._util import resolve_ref
+
+            keys_, vals_ = resolve_ref(remap_ref)
+            root = b["root"].to_numpy()
+            lab = root.copy()
+            if len(keys_):
+                pos = np.clip(np.searchsorted(keys_, root), 0, len(keys_) - 1)
+                hit = keys_[pos] == root
+                lab[hit] = vals_[pos[hit]]
+            return pa.table({"node": b["node"], "label": pa.array(lab)})
+
+        return kind0.map_batches(finalize, batch_format="pyarrow")
+
+    # large quotient: RECURSIVE CONTRACTION — conflicts are the next
+    # level's edges; its labels come back via one bounded-bucket join
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["ra"], "dst": b["rb"]})
+
+    rec = connected_components(
+        None, quotient_ds.map_batches(as_edges, batch_format="pyarrow"),
+        depth=depth + 1, max_driver_quotient=max_driver_quotient,
+    )
+
+    def map_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "root": b["node"],
+                "label": b["label"],
+                "kind": pa.array(np.full(len(b), 2, dtype=np.int64)),
+                "bucket": pa.array(bucket_of(b["node"].to_numpy())),
+            }
+        )
+
+    def row_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"],
+                "root": b["root"],
+                "label": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "bucket": pa.array(bucket_of(b["root"].to_numpy())),
+            }
+        )
+
+    joined = kind0.map_batches(row_side, batch_format="pyarrow").union(
+        rec.map_batches(map_rows, batch_format="pyarrow")
+    )
+    return joined.groupby("bucket").map_groups(
+        _remap_join, batch_format="pandas"
     )

@@ -151,6 +151,49 @@ def test_connected_components_chain_and_singletons(ray_session):
     assert len(labels) == n + 5
 
 
+def test_connected_components_recursive_contraction(ray_session):
+    """Forcing a tiny driver-quotient budget must exercise the
+    recursive contraction path and still produce min-label components."""
+    import ray.data as rd
+
+    from osm2world_ray.stages.components import connected_components
+
+    n = 120
+    edges = rd.from_items([{"src": i, "dst": i + 1} for i in range(n - 1)])
+    nodes = rd.from_items([{"node": i} for i in range(n + 3)])
+    labels = connected_components(
+        nodes, edges, max_driver_quotient=2
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    assert (labels.loc[labels.node < n, "label"] == 0).all()
+    tail = labels[labels.node >= n]
+    assert (tail["label"].to_numpy() == tail["node"].to_numpy()).all()
+    assert len(labels) == n + 3
+
+
+def test_np_union_find_matches_min_label():
+    from osm2world_ray.stages.components import np_union_find
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 300, 500)
+    dst = rng.integers(0, 300, 500)
+    nodes, roots = np_union_find(src, dst)
+    # reference: dict union-find
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for s, d in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = np.array([find(int(x)) for x in nodes])
+    assert np.array_equal(roots, exp)
+
+
 def test_java_random_golden():
     """Bit-exact java.util.Random parity (public LCG constants; the
     scattering determinism contract, GeometryUtil.java:745-758)."""
