@@ -2809,6 +2809,84 @@ def q_events_asof(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# terrain interpolator family (config-selected, O2WConfig.java:510-518)
+# ---------------------------------------------------------------------------
+# Oracle design: site elevations are closed-form fields with exactly
+# the polynomial degree each interpolator reproduces (linear precision
+# for barycentric/Sibson, quadratic for the 6-coeff least-squares fit),
+# so the oracle is the field itself — independent of the triangulation
+# and fit code under test. Probes are mentions restricted one grid
+# spacing + margin inside the site hull (synth.SQL_INTERP_PROBE) so no
+# probe triangle/cavity touches the padded-bbox corners (ele 0).
+
+def _interp_probe_filter(batch: pa.Table) -> pa.Table:
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    m = synth.INTERP_MARGIN
+    mask = (
+        (lat >= synth.UNI_LAT0 + m)
+        & (lat <= synth.UNI_LAT0 + synth.UNI_LAT_SPAN - m)
+        & (lon >= synth.UNI_LON0 + m)
+        & (lon <= synth.UNI_LON0 + synth.UNI_LON_SPAN - m)
+    )
+    return batch.filter(pa.array(mask))
+
+
+def _q_interp(sf_dir: str, interpolator_name: str, field):
+    """Shared probe pipeline: broadcast sites once, actor pool builds
+    the interpolator in __init__ (setKnownSites analogue), vectorized
+    probes per batch."""
+    import ray
+
+    from ..stages.interpolators import interpolator_for
+
+    lon, lat, _k = synth.interp_sites()
+    sites = pa.table({"x": lon, "y": lat, "z": field(lat, lon)})
+    ref = ray.put(sites)
+    ds = datasets.mentions_ds(sf_dir)
+    ds = ds.map_batches(_interp_probe_filter, batch_format="pyarrow")
+    return ds.map_batches(
+        interpolator_for(interpolator_name),
+        fn_constructor_kwargs={"sites_ref": ref},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def _interp_sql(field_sql: str, col: str, unit: int) -> str:
+    return f"""
+    WITH {synth.MENTIONS_SQL}
+    SELECT url, mention_idx,
+           CAST(floor({field_sql} * {unit} + 0.5) AS BIGINT) AS {col}
+    FROM mentions WHERE {synth.SQL_INTERP_PROBE}
+    """
+
+
+@register("interp_linear", _interp_sql(synth.SQL_FIELD_LINEAR, "ele_mm", 1000))
+def q_interp_linear(sf_dir: str):
+    """Delaunay + enclosing-triangle plane (LinearInterpolator.java:18-50,
+    DelaunayTriangulation.java:26-530)."""
+    return _q_interp(sf_dir, "LinearInterpolator", synth.field_linear)
+
+
+@register("interp_natural", _interp_sql(synth.SQL_FIELD_LINEAR, "ele_mm", 1000))
+def q_interp_natural(sf_dir: str):
+    """Sibson natural-neighbor interpolation
+    (NaturalNeighborInterpolator.java:16-58, stolen-Voronoi-area weights
+    per DelaunayTriangulation.probe :566-654)."""
+    return _q_interp(sf_dir, "NaturalNeighborInterpolator", synth.field_linear)
+
+
+@register("interp_lsq", _interp_sql(synth.SQL_FIELD_QUAD, "ele_cm", 100))
+def q_interp_lsq(sf_dir: str):
+    """Per-site quadratic least-squares fit + distance-weighted
+    polynomial average (LeastSquaresInterpolator.java:60-135)."""
+    return _q_interp(sf_dir, "LeastSquaresInterpolator", synth.field_quad)
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -223,3 +223,64 @@ def sql_cell_ix(lon_expr: str, r: int) -> str:
 
 def sql_cell_iy(lat_expr: str, r: int) -> str:
     return f"CAST(floor(({lat_expr} + 90.0) * {1 << r}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# terrain-interpolator site grid + elevation fields
+# ---------------------------------------------------------------------------
+# Sites are a jittered grid over the uniform mention region; elevations
+# are closed-form fields chosen so that interpolators with linear
+# (Linear/NaturalNeighbor) resp. quadratic (LeastSquares' 6-coeff fit,
+# ``LeastSquaresInterpolator.java:220-248``) precision reproduce the
+# field EXACTLY at probes inside the site hull — which makes the DuckDB
+# oracle the closed-form field itself, fully independent of the
+# triangulation/fit code under test. Probes are restricted one grid
+# spacing inside the hull so no probe's triangle/cavity touches the
+# padded-bbox corner vertices (z=0, ``DelaunayTriangulation.java:486``).
+
+INTERP_SPACING = 0.5
+INTERP_JITTER = 0.1  # fraction of spacing
+#: probe margin (degrees) keeping cavities clear of bbox corners
+INTERP_MARGIN = 1.0
+
+
+def interp_sites():
+    """-> (x=lon, y=lat, id) jittered grid over the uniform region."""
+    ni = int(round(UNI_LON_SPAN / INTERP_SPACING)) + 1  # 41
+    nj = int(round(UNI_LAT_SPAN / INTERP_SPACING)) + 1  # 21
+    i, j = np.meshgrid(np.arange(ni, dtype=np.int64), np.arange(nj, dtype=np.int64), indexing="ij")
+    i, j = i.ravel(), j.ravel()
+    k = i * 1000 + j
+    jx = (_h(k, M1) / TWO32 - 0.5) * (INTERP_SPACING * INTERP_JITTER)
+    jy = (_h(k, M2) / TWO32 - 0.5) * (INTERP_SPACING * INTERP_JITTER)
+    lon = UNI_LON0 + i * INTERP_SPACING + jx
+    lat = UNI_LAT0 + j * INTERP_SPACING + jy
+    return lon, lat, k
+
+
+def field_linear(lat, lon):
+    """Linear elevation field (m): exact target for barycentric/Sibson."""
+    return 100.0 + 7.0 * (lon + 10.0) + 13.0 * (lat - 40.0)
+
+
+SQL_FIELD_LINEAR = "(100.0 + 7.0 * (lon + 10.0) + 13.0 * (lat - 40.0))"
+
+
+def field_quad(lat, lon):
+    """Quadratic elevation field (m): exact target for the 6-coeff
+    least-squares fit (quadratic precision)."""
+    u = lon + 10.0
+    v = lat - 40.0
+    return 50.0 + 2.0 * u + 3.0 * v + 0.5 * u * u + 0.25 * u * v + 0.3 * v * v
+
+
+SQL_FIELD_QUAD = (
+    "(50.0 + 2.0*(lon+10.0) + 3.0*(lat-40.0) + 0.5*(lon+10.0)*(lon+10.0)"
+    " + 0.25*(lon+10.0)*(lat-40.0) + 0.3*(lat-40.0)*(lat-40.0))"
+)
+
+#: SQL predicate for the probe window (one spacing + margin inside hull)
+SQL_INTERP_PROBE = (
+    f"(lat >= {UNI_LAT0 + INTERP_MARGIN} AND lat <= {UNI_LAT0 + UNI_LAT_SPAN - INTERP_MARGIN}"
+    f" AND lon >= {UNI_LON0 + INTERP_MARGIN} AND lon <= {UNI_LON0 + UNI_LON_SPAN - INTERP_MARGIN})"
+)
