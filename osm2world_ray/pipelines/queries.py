@@ -2887,6 +2887,46 @@ def q_interp_lsq(sf_dir: str):
     return _q_interp(sf_dir, "LeastSquaresInterpolator", synth.field_quad)
 
 
+# ---------------------------------------------------------------------------
+# multipolygon ring assembly (MultipolygonAreaBuilder.java:73-806)
+# ---------------------------------------------------------------------------
+# Oracle: relation members are synthesized per deterministic class
+# templates (stages/rings.REL_TEMPLATES — mp_two_holes / split-ways /
+# two-outers / island-in-hole / unclosable), so the expected areas per
+# class are closed-form constants the SQL recomputes from doc_id alone;
+# the engine does real node-identity stitching, ring containment and
+# shoelace areas and must land on the same rows.
+
+@register(
+    "assemble_rings",
+    f"""
+    WITH docs AS (SELECT doc_id, doc_id % 5 AS cls,
+                         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS many_tags
+                  FROM documents)
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url, hole_count, outer_nodes,
+           area_e8, is_relation
+    FROM (
+      SELECT doc_id, 2::BIGINT AS hole_count, 4::BIGINT AS outer_nodes,
+             21500000::BIGINT AS area_e8, many_tags::BIGINT AS is_relation
+      FROM docs WHERE cls = 0
+      UNION ALL SELECT doc_id, 1, 4, 22000000, 1 FROM docs WHERE cls = 1
+      UNION ALL SELECT doc_id, 1, 4, 22000000, 1 FROM docs WHERE cls = 2
+      UNION ALL SELECT doc_id, 0, 4,  6000000, 1 FROM docs WHERE cls = 2
+      UNION ALL SELECT doc_id, 1, 4, 22000000, 1 FROM docs WHERE cls = 3
+      UNION ALL SELECT doc_id, 0, 4,   500000, 1 FROM docs WHERE cls = 3
+    )
+    """,
+)
+def q_assemble_rings(sf_dir: str):
+    """Multipolygon ring assembly: greedy NodeSequence stitching with
+    reversal (MultipolygonAreaBuilder.java:196-253,695-741), outer/hole
+    grouping by direct ring containment (:258-334), simple-case tag
+    source rule (:85-139). Unclosable relations emit nothing."""
+    from ..stages.rings import assemble_rings
+
+    return assemble_rings(sf_dir)
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
