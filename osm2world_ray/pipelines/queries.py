@@ -2927,6 +2927,82 @@ def q_assemble_rings(sf_dir: str):
     return assemble_rings(sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# area x area typed overlap (OSMToMapDataConverter.java:623-718)
+# ---------------------------------------------------------------------------
+
+_AA_AREAS_SQL = f"""
+areas AS (
+  SELECT doc_id*8 + mention_idx AS akey,
+         lon - 0.02*(1 + (doc_id*8 + mention_idx) % 5) AS minx,
+         lon + 0.02*(1 + (doc_id*8 + mention_idx) % 5) AS maxx,
+         lat - 0.01*(1 + (doc_id*8 + mention_idx) % 5) AS miny,
+         lat + 0.01*(1 + (doc_id*8 + mention_idx) % 5) AS maxy
+  FROM mentions
+  UNION ALL
+  SELECT doc_id*8 + 5,
+         lon + 0.02*(1 + (doc_id*8) % 5),
+         lon + 0.02*(1 + (doc_id*8) % 5)*3,
+         lat - 0.01*(1 + (doc_id*8) % 5),
+         lat + 0.01*(1 + (doc_id*8) % 5)
+  FROM mentions WHERE mention_idx = 0 AND doc_id % 41 = 0
+  UNION ALL
+  SELECT doc_id*8 + 6,
+         lon + 0.02*(1 + (doc_id*8) % 5),
+         lon + 0.02*(1 + (doc_id*8) % 5)*3,
+         lat + 0.01*(1 + (doc_id*8) % 5),
+         lat + 0.01*(1 + (doc_id*8) % 5)*3
+  FROM mentions WHERE mention_idx = 0 AND doc_id % 43 = 0
+)
+"""
+
+
+@register(
+    "overlap_aa",
+    f"""
+    WITH {synth.MENTIONS_SQL}, {_AA_AREAS_SQL},
+    pairs AS (
+      SELECT a.akey AS ka, b.akey AS kb,
+             a.minx AS ax0, a.maxx AS ax1, a.miny AS ay0, a.maxy AS ay1,
+             b.minx AS bx0, b.maxx AS bx1, b.miny AS by0, b.maxy AS by1
+      FROM areas a JOIN areas b
+        ON a.akey < b.akey
+       AND a.minx <= b.maxx AND b.minx <= a.maxx
+       AND a.miny <= b.maxy AND b.miny <= a.maxy
+    ),
+    typed AS (
+      SELECT *,
+        CASE
+          WHEN ((ax1 = bx0 OR ax0 = bx1) AND ay0 = by0 AND ay1 = by1)
+            OR ((ay1 = by0 OR ay0 = by1) AND ax0 = bx0 AND ax1 = bx1)
+            THEN 1  -- shared full edge (equal-extent twins)
+          WHEN bx0 < ax0 AND ax1 < bx1 AND by0 < ay0 AND ay1 < by1 THEN 2
+          WHEN ax0 < bx0 AND bx1 < ax1 AND ay0 < by0 AND by1 < ay1 THEN 3
+          WHEN ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1 THEN 4
+          ELSE 0  -- touch at a single common node: excluded (:671-681)
+        END AS code
+      FROM pairs
+    )
+    SELECT CASE WHEN code = 3 THEN kb ELSE ka END AS akey,
+           CASE WHEN code = 3 THEN ka ELSE kb END AS bkey,
+           CASE code WHEN 1 THEN 'SHARE_SEGMENT'
+                     WHEN 4 THEN 'INTERSECT'
+                     ELSE 'CONTAIN' END AS ov_type
+    FROM typed WHERE code > 0
+    """,
+)
+def q_overlap_aa(sf_dir: str):
+    """Typed area x area overlap join: shared-segment short-circuit,
+    outline intersection with the common-node exclusion, bidirectional
+    containment with contained-first orientation
+    (OSMToMapDataConverter.java:623-718). Same bounded-bucket shuffle +
+    min-corner ownership as overlap_pairs; the oracle's interval CASE
+    is the closed form of the same classification for rect rings."""
+    from ..stages.aa_overlap import overlap_aa
+
+    return overlap_aa(datasets.mentions_ds(sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
