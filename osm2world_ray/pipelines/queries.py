@@ -3003,6 +3003,63 @@ def q_overlap_aa(sf_dir: str):
     return overlap_aa(datasets.mentions_ds(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# CAG subtract (CAGUtil.java:37-41 via FaceDecompositionUtil.java:32-220)
+# + hole-aware triangulation (Earcut4JTriangulationUtil.java:27-71)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cag_subtract",
+    f"""
+    WITH docs AS (SELECT doc_id, doc_id % 5 AS cls FROM documents)
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url, n_holes, area_e8
+    FROM (
+      SELECT doc_id, 1::BIGINT AS n_holes, 22000000::BIGINT AS area_e8
+      FROM docs WHERE cls = 0      -- hole fully inside
+      UNION ALL SELECT doc_id, 0, 22000000 FROM docs WHERE cls = 1  -- notch
+      UNION ALL SELECT doc_id, 0, 10000000 FROM docs WHERE cls = 2  -- band: left
+      UNION ALL SELECT doc_id, 0, 12000000 FROM docs WHERE cls = 2  -- band: right
+      UNION ALL SELECT doc_id, 0, 24000000 FROM docs WHERE cls = 3  -- disjoint
+      UNION ALL SELECT doc_id, 1, 18000000 FROM docs WHERE cls = 4  -- overlapping pair
+    )
+    """,
+)
+def q_cag_subtract(sf_dir: str):
+    """Polygon boolean subtract via face decomposition of the segment
+    arrangement graph: pairwise intersections + endpoint snapping,
+    angle-ordered face walk, CW-ring hole fitting, base/subtract
+    interior-point filtering (FaceDecompositionUtil.java:32-220,
+    CAGUtil.java:37-41). Classes cover interior holes, edge notches,
+    full splits, disjoint subtracts and overlapping subtract pairs."""
+    from ..stages.cag import cag_subtract_batch
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        cag_subtract_batch, batch_format="pyarrow"
+    )
+
+
+@register(
+    "triangulate_holes",
+    f"""
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 8 END::BIGINT AS n_triangles,
+           CASE WHEN doc_id % 2 = 0 THEN 21500000 ELSE 22000000 END::BIGINT
+             AS area_e8
+    FROM documents
+    """,
+)
+def q_triangulate_holes(sf_dir: str):
+    """Hole-bridged earcut (Eberly max-x bridge, the earcut4j hole
+    elimination): n-2 triangles over the merged ring, total triangle
+    area exactly outer minus holes (TriangulationUtil.java:22-45,
+    Earcut4JTriangulationUtil.java:27-71)."""
+    from ..stages.cag import triangulate_holes_batch
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        triangulate_holes_batch, batch_format="pyarrow"
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
