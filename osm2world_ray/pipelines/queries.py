@@ -3060,6 +3060,58 @@ def q_triangulate_holes(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# roof tie-window argmax (O2WConverterImpl.java:276-287)
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_roof_rule",
+    f"""
+    WITH {synth.MENTIONS_SQL}, {synth.LANDMARKS_SQL},
+    cand AS (
+      SELECT m.url, m.mention_idx, l.landmark_id,
+             sqrt((m.lat - l.lat)*(m.lat - l.lat)
+                + (m.lon - l.lon)*(m.lon - l.lon)) AS dist,
+             (l.landmark_id * {synth.M1}) % 1000 AS h
+      FROM mentions m CROSS JOIN landmarks l
+    ),
+    win AS (
+      SELECT *, min(dist) OVER (PARTITION BY url, mention_idx) AS mind
+      FROM cand
+    ),
+    sel AS (
+      SELECT url, mention_idx, landmark_id,
+             row_number() OVER (PARTITION BY url, mention_idx
+                                ORDER BY h DESC, landmark_id ASC) AS rn
+      FROM win WHERE dist < mind + 0.1
+    )
+    SELECT url, mention_idx, landmark_id FROM sel WHERE rn = 1
+    """,
+)
+def q_knn_roof_rule(sf_dir: str):
+    """Roof-surface attachment rule: among landmarks within
+    (minDist + 0.1) of the mention, pick the one with the greatest
+    height — 'prioritize the topmost roof' (O2WConverterImpl.java:
+    276-287). Ring expansion covers the whole window radius before
+    the argmax; heights are the deterministic (id*M1) % 1000 hash so
+    the oracle joins on the same values."""
+    import ray
+
+    from ..sources.landmarks import landmarks_table
+    from ..stages.knn import RoofAttach
+
+    ref = ray.put(landmarks_table(sf_dir))
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        RoofAttach,
+        fn_constructor_kwargs={"landmarks_ref": ref},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -176,3 +176,76 @@ class BruteForceTopK:
             "rank", pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n))
         )
 
+
+
+#: roof tie-window width (O2WConverterImpl.java:281: minDist + 0.1 —
+#: meters there, degrees in our site space)
+ROOF_EPS = 0.1
+
+
+class RoofAttach:
+    """Tie-window argmax attachment — the roof-surface rule
+    (``O2WConverterImpl.java:276-287``): compute the minimum XZ distance
+    over all candidates, keep those with ``dist < minDist + 0.1``, and
+    among them pick the HIGHEST surface (argmax height; ties broken by
+    smallest landmark_id for determinism). Ring expansion continues
+    until the whole window radius is covered (``k*cell_size >=
+    minDist + eps`` — unexplored cells are provably outside the
+    window), with per-ring window pruning so the candidate buffer stays
+    proportional to the true window population."""
+
+    def __init__(self, landmarks_ref, *, r: int = 4, max_k: int = 512):
+        from ..sources import synth as _synth
+
+        self.index = LandmarkIndex(_resolve(landmarks_ref), r=r)
+        self.heights = (self.index.ids * _synth.M1) % 1000
+        self.max_k = max_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        n = len(lat)
+        ix, iy = self.index.cells_of(lat, lon)
+        best_d = np.full(n, np.inf)  # linear distance (window is linear)
+        active = np.arange(n, dtype=np.int64)
+        cs = self.index.cell_size
+        cg, cd, ch, cid = [], [], [], []
+        k = 0
+        while len(active) and k <= self.max_k:
+            offs = _ring_offsets(k)
+            m = len(offs)
+            cix = (ix[active][:, None] + offs[None, :, 0]).ravel()
+            ciy = (iy[active][:, None] + offs[None, :, 1]).ravel()
+            valid = (ciy >= 0) & (ciy < self.index.ny) & (cix >= 0)
+            flat = (cix * self.index.ny + ciy)[valid]
+            src_cell = np.repeat(np.arange(len(active), dtype=np.int64), m)[valid]
+            src, pos = self.index.gather(flat)
+            if len(pos):
+                g = active[src_cell[src]]
+                dlat = self.index.lat[pos] - lat[g]
+                dlon = self.index.lon[pos] - lon[g]
+                d = np.sqrt(dlat * dlat + dlon * dlon)
+                np.minimum.at(best_d, g, d)
+                # conservative window prune with the current best (the
+                # final filter re-applies the window with the true min)
+                keep = d < best_d[g] + ROOF_EPS
+                cg.append(g[keep])
+                cd.append(d[keep])
+                ch.append(self.heights[pos][keep])
+                cid.append(self.index.ids[pos][keep])
+            done = np.isfinite(best_d[active]) & (best_d[active] + ROOF_EPS <= k * cs)
+            active = active[~done]
+            k += 1
+        g = np.concatenate(cg) if cg else np.empty(0, dtype=np.int64)
+        d = np.concatenate(cd) if cd else np.empty(0)
+        h = np.concatenate(ch) if ch else np.empty(0, dtype=np.int64)
+        lid = np.concatenate(cid) if cid else np.empty(0, dtype=np.int64)
+        win = d < best_d[g] + ROOF_EPS
+        g, h, lid = g[win], h[win], lid[win]
+        order = np.lexsort((lid, -h, g))
+        g_s, id_s = g[order], lid[order]
+        first = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        out_id = np.full(n, -1, dtype=np.int64)
+        out_id[g_s[first]] = id_s[first]
+        out = batch.select(["url", "mention_idx"])
+        return out.append_column("landmark_id", pa.array(out_id))
