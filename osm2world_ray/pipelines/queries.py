@@ -3112,6 +3112,157 @@ def q_knn_roof_rule(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# way-segment x area typed overlap with intersection positions
+# (OSMToMapDataConverter.java:515-620)
+# ---------------------------------------------------------------------------
+
+def _wa_oracle() -> str:
+    from ..sources import boundaries as B
+
+    p1_contains = B.contains_sql_selects("segs2", "y1", "x1")
+    center_contains = B.contains_sql_selects("segs2", "(y1+y2)/2", "(x1+x2)/2")
+    return f"""
+    WITH {synth.SEGMENTS_SQL},
+    segs2 AS (
+      SELECT url, seg_idx, x1, y1, x2, y2 FROM segs
+      UNION ALL SELECT '{synth.URL_PREFIX}' || doc_id, 5,
+                       13.4, 48.62, 13.52, 48.62
+      FROM documents WHERE doc_id % 37 = 0
+      UNION ALL SELECT '{synth.URL_PREFIX}' || doc_id, 6,
+                       0.0, 45.0, 1.0, 46.0
+      FROM documents WHERE doc_id % 39 = 0
+    ),
+    edges AS (SELECT * FROM (VALUES {B.edges_sql_values()})
+              e(boundary_id, ex1, ey1, ex2, ey2)),
+    corners AS (SELECT DISTINCT * FROM (VALUES {B.corners_sql_values()})
+                c(boundary_id, cx, cy)),
+    share AS (
+      SELECT DISTINCT s.url, s.seg_idx, e.boundary_id FROM segs2 s JOIN edges e
+        ON (s.x1 = e.ex1 AND s.y1 = e.ey1 AND s.x2 = e.ex2 AND s.y2 = e.ey2)
+        OR (s.x1 = e.ex2 AND s.y1 = e.ey2 AND s.x2 = e.ex1 AND s.y2 = e.ey1)
+    ),
+    conn AS (
+      SELECT DISTINCT s.url, s.seg_idx, c.boundary_id FROM segs2 s JOIN corners c
+        ON (s.x1 = c.cx AND s.y1 = c.cy) OR (s.x2 = c.cx AND s.y2 = c.cy)
+    ),
+    tu AS (
+      SELECT s.url, s.seg_idx, e.boundary_id, s.x1 AS p1x, s.y1 AS p1y,
+             (s.x2 - s.x1) AS rx, (s.y2 - s.y1) AS ry,
+             ((e.ex1 - s.x1)*(e.ey2 - e.ey1) - (e.ey1 - s.y1)*(e.ex2 - e.ex1))
+               / ((s.x2 - s.x1)*(e.ey2 - e.ey1) - (s.y2 - s.y1)*(e.ex2 - e.ex1)) AS t,
+             ((e.ex1 - s.x1)*(s.y2 - s.y1) - (e.ey1 - s.y1)*(s.x2 - s.x1))
+               / ((s.x2 - s.x1)*(e.ey2 - e.ey1) - (s.y2 - s.y1)*(e.ex2 - e.ex1)) AS u
+      FROM segs2 s JOIN edges e
+        ON ((s.x2 - s.x1)*(e.ey2 - e.ey1) - (s.y2 - s.y1)*(e.ex2 - e.ex1)) <> 0
+    ),
+    hits AS (
+      SELECT url, seg_idx, boundary_id,
+             CAST(floor((p1x + t*rx)*1000000 + 0.5) AS BIGINT) AS ix_udeg,
+             CAST(floor((p1y + t*ry)*1000000 + 0.5) AS BIGINT) AS iy_udeg
+      FROM tu WHERE t > 0 AND t < 1 AND u > 0 AND u < 1
+    )
+    SELECT url, seg_idx, boundary_id, 'SHARE_SEGMENT' AS ov_type,
+           -1::BIGINT AS ix_udeg, -1::BIGINT AS iy_udeg FROM share
+    UNION ALL
+    SELECT h.url, h.seg_idx, h.boundary_id, 'INTERSECT', h.ix_udeg, h.iy_udeg
+    FROM hits h
+    WHERE NOT EXISTS (SELECT 1 FROM share x WHERE x.url = h.url
+                      AND x.seg_idx = h.seg_idx AND x.boundary_id = h.boundary_id)
+      AND NOT EXISTS (SELECT 1 FROM conn x WHERE x.url = h.url
+                      AND x.seg_idx = h.seg_idx AND x.boundary_id = h.boundary_id)
+    UNION ALL
+    SELECT p.url, p.seg_idx, p.boundary_id, 'CONTAIN', -1, -1
+    FROM ({p1_contains}) p
+    WHERE NOT EXISTS (SELECT 1 FROM hits x WHERE x.url = p.url
+                      AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
+      AND NOT EXISTS (SELECT 1 FROM share x WHERE x.url = p.url
+                      AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
+      AND NOT EXISTS (SELECT 1 FROM conn x WHERE x.url = p.url
+                      AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
+    UNION ALL
+    SELECT p.url, p.seg_idx, p.boundary_id, 'CONTAIN', -1, -1
+    FROM ({center_contains}) p
+    WHERE EXISTS (SELECT 1 FROM conn x WHERE x.url = p.url
+                  AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
+      AND NOT EXISTS (SELECT 1 FROM share x WHERE x.url = p.url
+                      AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
+    """
+
+
+@register("overlap_wa", _wa_oracle())
+def q_overlap_wa(sf_dir: str):
+    """Way-segment x area typed overlap: shared-segment short-circuit,
+    connectivity-aware intersection (positions near a shared node
+    excluded by segmentLength/100), segment/center containment, and one
+    output row per intersection position (OSMToMapDataConverter.java:
+    515-620). Boundaries broadcast; per-batch edge tests vectorized over
+    the segment stream. Extra deterministic segment classes exercise
+    SHARE_SEGMENT (doc%37: a cluster-admin edge) and the connected-
+    corner CONTAIN path (doc%39)."""
+    import ray
+
+    from ..sources.boundaries import boundaries_table
+    from ..stages.extract import SegmentExtractor
+    from ..stages.wa_overlap import WAOverlapJoin
+
+    ref = ray.put(boundaries_table())
+    segs = datasets.pages_ds(sf_dir).map_batches(
+        SegmentExtractor,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 32),
+        num_cpus=1,
+    )
+
+    def class_segments(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy().astype(np.int64)
+        parts = []
+        d37 = doc[doc % 37 == 0]
+        if len(d37):
+            parts.append((d37, 5, 13.4, 48.62, 13.52, 48.62))
+        d39 = doc[doc % 39 == 0]
+        if len(d39):
+            parts.append((d39, 6, 0.0, 45.0, 1.0, 46.0))
+        if not parts:
+            return pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "seg_idx": pa.array([], type=pa.int64()),
+                    "x1": pa.array([], type=pa.float64()),
+                    "y1": pa.array([], type=pa.float64()),
+                    "x2": pa.array([], type=pa.float64()),
+                    "y2": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"{synth.URL_PREFIX}{d}" for p in parts for d in p[0]]
+                ),
+                "seg_idx": pa.array(
+                    np.concatenate([np.full(len(p[0]), p[1], dtype=np.int64) for p in parts])
+                ),
+                "x1": pa.array(np.concatenate([np.full(len(p[0]), p[2]) for p in parts])),
+                "y1": pa.array(np.concatenate([np.full(len(p[0]), p[3]) for p in parts])),
+                "x2": pa.array(np.concatenate([np.full(len(p[0]), p[4]) for p in parts])),
+                "y2": pa.array(np.concatenate([np.full(len(p[0]), p[5]) for p in parts])),
+            }
+        )
+
+    extra = datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        class_segments, batch_format="pyarrow"
+    )
+    return segs.union(extra).map_batches(
+        WAOverlapJoin,
+        fn_constructor_kwargs={"boundaries_ref": ref},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -134,3 +134,41 @@ def bbox_sql_values() -> str:
                 f"{shape.clat + shape.r}, {shape.clon + shape.r})"
             )
     return ", ".join(rows)
+
+
+def edges_sql_values() -> str:
+    """VALUES list of every ring edge (boundary_id, ex1, ey1, ex2, ey2)
+    with x=lon, y=lat — the area-segment side of the WA overlap oracle
+    (floats repr-round-trip so they equal the WKB-decoded engine
+    values bit-exactly)."""
+    rows = []
+    for bid, _, _, shape in BOUNDARY_SPECS:
+        for ring in shape.rings():
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                rows.append(f"({bid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ", ".join(rows)
+
+
+def corners_sql_values() -> str:
+    """VALUES list of every ring vertex (boundary_id, cx, cy)."""
+    rows = []
+    for bid, _, _, shape in BOUNDARY_SPECS:
+        for ring in shape.rings():
+            for x, y in ring:
+                rows.append(f"({bid}, {x!r}, {y!r})")
+    return ", ".join(rows)
+
+
+def contains_sql_selects(source: str, lat_expr: str, lon_expr: str,
+                         extra_cols: str = "url, seg_idx") -> str:
+    """UNION-ALL of per-boundary selects keeping rows of ``source``
+    whose (lat_expr, lon_expr) point lies inside the boundary."""
+    parts = [
+        f"SELECT {extra_cols}, {bid} AS boundary_id FROM {source} "
+        f"WHERE {shape.sql(lat_expr, lon_expr)}"
+        for bid, _, _, shape in BOUNDARY_SPECS
+    ]
+    return " UNION ALL ".join(parts)
