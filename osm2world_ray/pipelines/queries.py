@@ -3263,6 +3263,61 @@ def q_overlap_wa(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# general mitre polygon buffer (JTSBufferUtil.java:19-32)
+# ---------------------------------------------------------------------------
+
+@register(
+    "buffer_polygons",
+    f"""
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           0::BIGINT AS n_holes,
+           CASE WHEN doc_id % 2 = 0 THEN 25000000 ELSE 29000000 END::BIGINT
+             AS area_e8
+    FROM documents
+    """,
+)
+def q_buffer_polygons(sf_dir: str):
+    """General mitre-join outward polygon buffer (JTS BufferOp with
+    JOIN_MITRE semantics, JTSBufferUtil.java:19-32): per-edge offset
+    rectangles + per-convex-vertex mitre wedges dissolved through the
+    segment-arrangement union. Classes: square (convex; area
+    A + P*d + 4d^2) and concave L (reflex corner cancels one mitre
+    term: A + P*d + (5-1)d^2)."""
+    from ..geo.buffer import buffer_polygon_mitre
+    from ..stages.rings import rel_base
+
+    def run(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy().astype(np.int64)
+        blat, blon = rel_base(doc)
+        urls, holes, areas = [], [], []
+        for d, by, bx in zip(doc, blat, blon):
+            if int(d) % 2 == 0:
+                ring = np.array(
+                    [[bx, by], [bx + 0.4, by], [bx + 0.4, by + 0.4], [bx, by + 0.4]]
+                )
+            else:
+                ring = np.array(
+                    [[bx, by], [bx + 0.6, by], [bx + 0.6, by + 0.2],
+                     [bx + 0.3, by + 0.2], [bx + 0.3, by + 0.4], [bx, by + 0.4]]
+                )
+            for _outer, f_holes, area in buffer_polygon_mitre(ring, 0.05):
+                urls.append(f"{synth.URL_PREFIX}{int(d)}")
+                holes.append(len(f_holes))
+                areas.append(int(np.floor(area * 1e8 + 0.5)))
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "n_holes": pa.array(holes, type=pa.int64()),
+                "area_e8": pa.array(areas, type=pa.int64()),
+            }
+        )
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
