@@ -177,7 +177,15 @@ def buffer_polygon_mitre(ring: np.ndarray, distance: float,
             cnt[(min(a, b), max(a, b))] += 1
     boundary = {e for e, c in cnt.items() if c == 1}
     outers, holes = faces_from_edges(boundary)
-    result = [{"outer": o, "holes": []} for o in outers]
+    # a closed uncovered pocket contributes BOTH orientations of its
+    # ring to the boundary walk; keep only covered CCW loops as outers
+    # (the pocket's CW twin then fits as a hole below)
+    covered = []
+    for o in outers:
+        px, py = _interior_point(o)
+        if any(_point_in_loop(px, py, p) for p in pieces):
+            covered.append(o)
+    result = [{"outer": o, "holes": []} for o in covered]
     for h in holes:
         probe = _interior_point(h)
         h_area = abs(_signed_area(h))
