@@ -169,11 +169,11 @@ def _classify(aminx, amaxx, aminy, amaxy, bminx, bmaxx, bminy, bmaxy):
 
 def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     """Per-bucket typed area x area join with min-corner ownership."""
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "akey": pd.Series(dtype=np.int64),
-            "bkey": pd.Series(dtype=np.int64),
-            "ov_type": pd.Series(dtype=str),
+            "akey": pa.array([], type=pa.int64()),
+            "bkey": pa.array([], type=pa.int64()),
+            "ov_type": pa.array([], type=pa.string()),
         }
     )
     if len(group) < 2:
@@ -227,13 +227,14 @@ def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     out_a = np.where(inner_first, akey[jj], akey[ii])
     out_b = np.where(inner_first, akey[ii], akey[jj])
     names = np.array(["", "SHARE_SEGMENT", "CONTAIN", "CONTAIN", "INTERSECT"])
-    return pd.DataFrame(
+    from .overlaps import _df_to_arrow
+    return _df_to_arrow(pd.DataFrame(
         {
             "akey": out_a,
             "bkey": out_b,
             "ov_type": names[code],
         }
-    )
+    ))
 
 
 def overlap_aa(mentions_ds):

@@ -56,11 +56,12 @@ def angular_adjacency(group: pd.DataFrame) -> pd.DataFrame:
     segments: sorted by direction angle ``atan2(dx, dy)`` (VectorXZ
     x-from-north convention), seg_idx tiebreak; fully vectorized."""
     if len(group) == 0:
-        return pd.DataFrame(
+        import pyarrow as _pa
+        return _pa.table(
             {
-                "url": pd.Series(dtype=str),
-                "node_idx": pd.Series(dtype=np.int64),
-                "segs_csv": pd.Series(dtype=str),
+                "url": _pa.array([], type=_pa.string()),
+                "node_idx": _pa.array([], type=_pa.int64()),
+                "segs_csv": _pa.array([], type=_pa.string()),
             }
         )
     url = group["url"].to_numpy()
@@ -77,13 +78,14 @@ def angular_adjacency(group: pd.DataFrame) -> pd.DataFrame:
     df = pd.DataFrame({"g": group_id, "seg": seg.astype(str)})
     csv = df.groupby("g", sort=True)["seg"].agg(",".join)
     firsts = np.nonzero(key_change)[0]
-    return pd.DataFrame(
+    from .overlaps import _df_to_arrow
+    return _df_to_arrow(pd.DataFrame(
         {
             "url": url[firsts],
             "node_idx": node[firsts],
             "segs_csv": csv.to_numpy(),
         }
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------

@@ -72,9 +72,10 @@ def _merge(group: pd.DataFrame):
     return resolved, sorted(bad_urls)
 
 
-def resolve_group(group: pd.DataFrame) -> pd.DataFrame:
+def resolve_group(group: pd.DataFrame):
+    from .overlaps import _df_to_arrow
     resolved, _bad = _merge(group)
-    return pd.DataFrame(
+    return _df_to_arrow(pd.DataFrame(
         {
             "url": resolved["url"].to_numpy(),
             "ref_idx": resolved["ref"].to_numpy(dtype=np.int64),
@@ -85,16 +86,16 @@ def resolve_group(group: pd.DataFrame) -> pd.DataFrame:
                 resolved["lon"].to_numpy(dtype=np.float64) * 1e6 + 0.5
             ).astype(np.int64),
         }
-    )
+    ))
 
 
-def resolve_errors_group(group: pd.DataFrame) -> pd.DataFrame:
+def resolve_errors_group(group: pd.DataFrame):
     _resolved, bad = _merge(group)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "url": np.array(bad, dtype=object),
-            "error": np.array(
-                [f"missing node ref {DANGLING_REF}"] * len(bad), dtype=object
+            "url": pa.array(list(bad), type=pa.string()),
+            "error": pa.array(
+                [f"missing node ref {DANGLING_REF}"] * len(bad), type=pa.string()
             ),
         }
     )
@@ -191,13 +192,13 @@ def resolve_relations_group(group: pd.DataFrame) -> pd.DataFrame:
     )
     members = group[group["kind"] == 3]
     if len(members) == 0:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "url": pd.Series(dtype=str),
-                "member_idx": pd.Series(dtype=np.int64),
-                "member_type": pd.Series(dtype=str),
-                "role": pd.Series(dtype=str),
-                "resolved": pd.Series(dtype=np.int64),
+                "url": pa.array([], type=pa.string()),
+                "member_idx": pa.array([], type=pa.int64()),
+                "member_type": pa.array([], type=pa.string()),
+                "role": pa.array([], type=pa.string()),
+                "resolved": pa.array([], type=pa.int64()),
             }
         )
     mtype = members["member_type"].to_numpy()
@@ -217,7 +218,8 @@ def resolve_relations_group(group: pd.DataFrame) -> pd.DataFrame:
             np.isin(ref_doc, rel_arr),
         ),
     ).astype(np.int64)
-    return pd.DataFrame(
+    from .overlaps import _df_to_arrow
+    return _df_to_arrow(pd.DataFrame(
         {
             "url": synth.URL_PREFIX
             + members["rel_doc"].astype(np.int64).astype(str),
@@ -226,7 +228,7 @@ def resolve_relations_group(group: pd.DataFrame) -> pd.DataFrame:
             "role": members["role"].to_numpy(),
             "resolved": np.array(res, dtype=np.int64),
         }
-    )
+    ))
 
 
 def resolve_relations(sf_dir: str):

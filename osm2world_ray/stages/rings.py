@@ -263,13 +263,23 @@ def assemble_group(group: pd.DataFrame) -> pd.DataFrame:
             out_n.append(nn)
             out_a.append(int(np.floor(area * 1e8 + 0.5)))
             out_rel.append(is_rel)
-    return pd.DataFrame(
+    if not out_url:
+        return pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "hole_count": pa.array([], type=pa.int64()),
+                "outer_nodes": pa.array([], type=pa.int64()),
+                "area_e8": pa.array([], type=pa.int64()),
+                "is_relation": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
         {
-            "url": pd.Series(out_url, dtype=str),
-            "hole_count": pd.Series(out_h, dtype=np.int64),
-            "outer_nodes": pd.Series(out_n, dtype=np.int64),
-            "area_e8": pd.Series(out_a, dtype=np.int64),
-            "is_relation": pd.Series(out_rel, dtype=np.int64),
+            "url": pa.array(out_url, type=pa.string()),
+            "hole_count": pa.array(out_h, type=pa.int64()),
+            "outer_nodes": pa.array(out_n, type=pa.int64()),
+            "area_e8": pa.array(out_a, type=pa.int64()),
+            "is_relation": pa.array(out_rel, type=pa.int64()),
         }
     )
 
