@@ -3318,6 +3318,41 @@ def q_buffer_polygons(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# coastline -> sea-area assembly (MultipolygonAreaBuilder.java:344-640)
+# ---------------------------------------------------------------------------
+
+@register(
+    "assemble_coastlines",
+    f"""
+    WITH docs AS (SELECT doc_id, doc_id % 4 AS cls FROM documents)
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url, hole_count, area_e8
+    FROM (
+      -- island only: sea covers the tile, island is the hole
+      SELECT doc_id, 1::BIGINT AS hole_count, 22000000::BIGINT AS area_e8
+      FROM docs WHERE cls = 0
+      -- single crossing coast, water on the right (south half)
+      UNION ALL SELECT doc_id, 0, 15000000 FROM docs WHERE cls = 1
+      -- no coastline, sea-tagged tile: whole tile is water
+      UNION ALL SELECT doc_id, 0, 24000000 FROM docs WHERE cls = 2
+      -- coast + island inside the water side
+      UNION ALL SELECT doc_id, 1, 13000000 FROM docs WHERE cls = 3
+    )
+    """,
+)
+def q_assemble_coastlines(sf_dir: str):
+    """Coastline-to-water-area assembly: bbox-side intersection nodes
+    with outgoing/incoming classification, coastline clipping, clockwise
+    boundary-run sections, ring stitching, island/sea-tile boundary-ring
+    rule (MultipolygonAreaBuilder.java:344-640, fixtures
+    OSMToMapDataConverterTest.java:148-190)."""
+    from ..stages.coastlines import coastlines_batch
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        coastlines_batch, batch_format="pyarrow"
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

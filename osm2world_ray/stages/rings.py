@@ -210,6 +210,14 @@ def assemble_relation(doc: int, members: list[tuple[str, list[int]]],
     rings = _build_rings([list(n) for _r, n in members])
     if rings is None:
         return []
+    return [(hc, nn, area, 1) for hc, nn, area in group_rings(rings, coords)]
+
+
+def group_rings(rings: list[list[int]], coords: dict[int, tuple[float, float]]):
+    """buildPolygonsFromRings (:258-334): repeatedly take an outer ring
+    (not contained in any other), collect its direct inners, emit
+    (hole_count, outer_nodes, area). Shared with coastline assembly
+    (:611 reuses the same grouping)."""
     polys = [_ring_area_and_poly(r, coords) for r in rings]
     live = list(range(len(rings)))
     out = []
@@ -237,7 +245,7 @@ def assemble_relation(doc: int, members: list[tuple[str, list[int]]],
             )
         ]
         area = polys[outer_i][0] - sum(polys[r][0] for r in inners)
-        out.append((len(inners), len(rings[outer_i]) - 1, area, 1))
+        out.append((len(inners), len(rings[outer_i]) - 1, area))
         live = [r for r in live if r != outer_i and r not in inners]
     return out
 
