@@ -99,10 +99,15 @@ class PartitionWriter:
     manifest, returning the partition's metrics row."""
 
     def __init__(self, out_dir: str, fingerprint: str,
-                 data_cols: list[str] | None = None):
+                 data_cols: list[str] | None = None,
+                 rows_per_file: int | None = None):
         self.out_dir = out_dir
         self.fingerprint = fingerprint
         self.data_cols = data_cols
+        #: start a new file whenever the threshold is reached — the
+        #: ObjMultiFileOutput split rule (ObjMultiFileOutput.java:92-130:
+        #: primitiveThresholdPerFile); None = single file per partition
+        self.rows_per_file = rows_per_file
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
@@ -115,13 +120,24 @@ class PartitionWriter:
         # deterministic row order inside the artifact
         data = data.sort_values(list(data.columns), kind="mergesort")
         tbl = pa.Table.from_pandas(data, preserve_index=False)
-        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+        step = self.rows_per_file or len(tbl) or 1
+        n_files = 0
+        for start in range(0, max(len(tbl), 1), step):
+            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(tbl.slice(start, step), tmp)
+            os.replace(tmp, os.path.join(pdir, f"part-{n_files}.parquet"))
+            n_files += 1
+        # drop stale higher-numbered parts from a previous run with a
+        # different threshold (manifest write below re-seals the dir)
+        for f in os.listdir(pdir):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                if int(f[5:-8]) >= n_files:
+                    os.remove(os.path.join(pdir, f))
         n_urls = int(group["url"].nunique()) if "url" in group else 0
         manifest = {
             "partition": [pz, px, py],
             "rows": int(len(data)),
+            "n_files": n_files,
             "n_urls": n_urls,
             "input_fingerprint": self.fingerprint,
             "wall_ms": round((time.perf_counter() - t0) * 1000, 2),
@@ -213,5 +229,9 @@ def read_export(out_dir: str):
     paths = []
     for root, _dirs, files in os.walk(out_dir):
         if "manifest.json" in files and "part-0.parquet" in files:
-            paths.append(os.path.join(root, "part-0.parquet"))
+            paths.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
     return rd.read_parquet(sorted(paths))

@@ -110,3 +110,36 @@ def test_partial_tmp_files_are_ignored(ray_session, tmp_path):
     # incomplete partition excluded from read-back
     total_after = ck.read_export(out).count()
     assert total_after < total_before
+
+
+def test_multi_file_split_threshold(tmp_path):
+    """ObjMultiFileOutput split rule: a new file per rows_per_file rows
+    (ObjMultiFileOutput.java:92-130); read_export reads every part."""
+    import pandas as pd
+    import numpy as np
+    from osm2world_ray.state.checkpoint import PartitionWriter
+
+    w = PartitionWriter(str(tmp_path), "fp", rows_per_file=10)
+    g = pd.DataFrame(
+        {
+            "pz": np.full(25, 6, dtype=np.int64),
+            "px": np.full(25, 1, dtype=np.int64),
+            "py": np.full(25, 2, dtype=np.int64),
+            "url": [f"u{i}" for i in range(25)],
+        }
+    )
+    w(g)
+    pdir = tmp_path / "6" / "1" / "2"
+    parts = sorted(p.name for p in pdir.glob("part-*.parquet"))
+    assert parts == ["part-0.parquet", "part-1.parquet", "part-2.parquet"]
+    import pyarrow.parquet as pq
+    import json
+
+    sizes = [pq.read_metadata(pdir / p).num_rows for p in parts]
+    assert sizes == [10, 10, 5]
+    assert json.load(open(pdir / "manifest.json"))["n_files"] == 3
+    # rewriting with a bigger threshold drops stale part files
+    w2 = PartitionWriter(str(tmp_path), "fp", rows_per_file=30)
+    w2(g)
+    parts = sorted(p.name for p in pdir.glob("part-*.parquet"))
+    assert parts == ["part-0.parquet"]
