@@ -2728,7 +2728,8 @@ def _events_bucketed(sf_dir: str):
     "events_tumbling",
     """
     SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS win, event_type,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
            count(*) AS n
     FROM events GROUP BY 1, 2
     """,
