@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "overlap_pairs",         # bucketed pairwise footprint self-join
     "segment_intersections", # segment x segment intersection self-join
     "clip_to_cell",          # straddle fan-out + exact clip
+    "interp_linear",         # Delaunay build-once/probe-many actor pool
+    "overlap_aa",            # typed area x area pairwise join
+    "assemble_rings",        # relation co-group ring stitching
 ]
 
 

@@ -2840,15 +2840,16 @@ def _q_interp(sf_dir: str, interpolator_name: str, field):
     probes per batch."""
     import ray
 
-    from ..stages.interpolators import interpolator_for
+    from ..functions.config import O2WConfig
 
+    cfg = O2WConfig({"terrainInterpolator": interpolator_name})
     lon, lat, _k = synth.interp_sites()
     sites = pa.table({"x": lon, "y": lat, "z": field(lat, lon)})
     ref = ray.put(sites)
     ds = datasets.mentions_ds(sf_dir)
     ds = ds.map_batches(_interp_probe_filter, batch_format="pyarrow")
     return ds.map_batches(
-        interpolator_for(interpolator_name),
+        cfg.terrain_interpolator(),
         fn_constructor_kwargs={"sites_ref": ref},
         batch_format="pyarrow",
         batch_size=None,
