@@ -481,12 +481,19 @@ def q_overlap_pairs(sf_dir: str):
     return _overlap_pairs_from(datasets.mentions_ds(sf_dir))
 
 
-def _overlap_pairs_from(mentions_ds):
+def _overlap_pairs_from(mentions_ds, *, urlized: bool = True):
+    """Pairwise footprint self-join. Strings are stripped to int doc
+    ids BEFORE the shuffle (fewer bytes through the object store, no
+    object-dtype work in the group UDF) and rebuilt by an Arrow C++
+    concat at the very end; ``urlized=False`` returns the raw int pairs
+    (doc_a/mention_idx_a/doc_b/mention_idx_b) for consumers like the
+    components pipeline that want ints anyway."""
     from ..stages import overlaps
 
-    ds = mentions_ds.map_batches(
+    ds = mentions_ds.map_batches(overlaps.strip_urls, batch_format="pyarrow")
+    ds = ds.map_batches(
         lambda b: tile_assign.fan_out_cells(b, r=5), batch_format="pyarrow"
-    ).select_columns(["url", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy"])
+    ).select_columns(["doc_id", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -494,9 +501,14 @@ def _overlap_pairs_from(mentions_ds):
         )
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return (
-        ds.groupby("bucket")
-        .map_groups(overlaps.pairwise_bbox_pairs, batch_format="pandas")
+    pairs = ds.groupby("bucket").map_groups(
+        overlaps.pairwise_bbox_pairs, batch_format="pandas"
+    )
+    if not urlized:
+        return pairs
+    return pairs.map_batches(
+        lambda b: overlaps.urlize(b, {"doc_a": "url_a", "doc_b": "url_b"}),
+        batch_format="pyarrow",
     )
 
 
@@ -552,16 +564,19 @@ def q_segment_intersections(sf_dir: str):
     )
 
     def fan_and_bucket(b: pa.Table) -> pa.Table:
-        b = tile_assign.fan_out_segment_cells(b, r=5)
+        b = tile_assign.fan_out_segment_cells(overlaps.strip_urls(b), r=5)
         return b.append_column(
             "bucket", pa.array(overlaps.bucket_of(b["cell"].to_numpy()))
         )
 
     ds = ds.map_batches(fan_and_bucket, batch_format="pyarrow").select_columns(
-        ["url", "seg_idx", "x1", "y1", "x2", "y2", "cell", "cell_ix", "cell_iy", "bucket"]
+        ["doc_id", "seg_idx", "x1", "y1", "x2", "y2", "cell", "cell_ix", "cell_iy", "bucket"]
     )
     return ds.groupby("bucket").map_groups(
         overlaps.segment_pairs_intersections, batch_format="pandas"
+    ).map_batches(
+        lambda b: overlaps.urlize(b, {"doc_a": "url_a", "doc_b": "url_b"}),
+        batch_format="pyarrow",
     )
 
 
@@ -2180,15 +2195,11 @@ def q_overlap_components(sf_dir: str):
 
     nodes = ds.map_batches(to_nodes, batch_format="pyarrow")
 
-    pairs = _overlap_pairs_from(ds)
+    pairs = _overlap_pairs_from(ds, urlized=False)
 
     def to_edges(b: pa.Table) -> pa.Table:
-        da = pa.compute.utf8_slice_codeunits(
-            b["url_a"], len(synth.URL_PREFIX), 99
-        ).cast(pa.int64()).to_numpy()
-        db = pa.compute.utf8_slice_codeunits(
-            b["url_b"], len(synth.URL_PREFIX), 99
-        ).cast(pa.int64()).to_numpy()
+        da = b["doc_a"].to_numpy()
+        db = b["doc_b"].to_numpy()
         # SPATIAL edge bucket: the src mention's r=5 cell (recomputed
         # from the deterministic coordinates) — locality keeps the
         # cross-bucket quotient boundary-sized (components.py docs)
@@ -2258,16 +2269,21 @@ def q_overlap_pairs_salted(sf_dir: str):
 
     def fan(b: pa.Table) -> pa.Table:
         h = ray.get(hot_ref)
-        out = tile_assign.fan_out_cells_salted(b, h, r=5, r_hot=7)
+        out = tile_assign.fan_out_cells_salted(
+            overlaps.strip_urls(b), h, r=5, r_hot=7
+        )
         return out.append_column(
             "bucket", pa.array(overlaps.bucket_of(out["cell"].to_numpy()))
         )
 
     ds = ds.map_batches(fan, batch_format="pyarrow").select_columns(
-        ["url", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy", "bucket"]
+        ["doc_id", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy", "bucket"]
     )
     return ds.groupby("bucket").map_groups(
         overlaps.pairwise_bbox_pairs, batch_format="pandas"
+    ).map_batches(
+        lambda b: overlaps.urlize(b, {"doc_a": "url_a", "doc_b": "url_b"}),
+        batch_format="pyarrow",
     )
 
 

@@ -192,9 +192,10 @@ def fan_out_cells_salted(batch: pa.Table, hot_cells: np.ndarray, *,
     # dedup on the natural row key (hashing the rows risks silent
     # collision drops)
     df = hot_src.to_pandas()
+    key_col = "doc_id" if "doc_id" in df.columns else "url"
     keep_idx = (
         df.reset_index()
-        .drop_duplicates(["url", "mention_idx"])["index"]
+        .drop_duplicates([key_col, "mention_idx"])["index"]
         .to_numpy()
     )
     hot_src = hot_src.take(pa.array(np.sort(keep_idx)))
