@@ -3021,6 +3021,21 @@ def q_overlap_aa(sf_dir: str):
     return overlap_aa(datasets.mentions_ds(sf_dir))
 
 
+ORACLES["overlap_aa_salted"] = ORACLES["overlap_aa"]
+
+
+@register("overlap_aa_salted")
+def q_overlap_aa_salted(sf_dir: str):
+    """overlap_aa with the skew pre-pass: a cheap per-cell count finds
+    hot cells (the dense urban cluster with 5x-size footprints), whose
+    assignments refine two resolutions before the shuffle. Output is
+    IDENTICAL to the unsalted join (same oracle) — the min-corner
+    ownership rule evaluates at each row's own packed resolution."""
+    from ..stages.aa_overlap import overlap_aa_salted
+
+    return overlap_aa_salted(datasets.mentions_ds(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # CAG subtract (CAGUtil.java:37-41 via FaceDecompositionUtil.java:32-220)
 # + hole-aware triangulation (Earcut4JTriangulationUtil.java:27-71)

@@ -243,3 +243,88 @@ def overlap_aa(mentions_ds):
     return fanned.groupby("bucket").map_groups(
         pairwise_aa_typed, batch_format="pandas"
     )
+
+
+def fan_out_area_cells_salted(batch: pa.Table, hot_cells: np.ndarray, *,
+                              r: int = 5, r_hot: int = 6) -> pa.Table:
+    """Skew-aware area fan-out: assignments landing in a HOT cell are
+    refined to ``r_hot`` sub-cells (same partition invariant as
+    ``tile_assign.fan_out_cells_salted``: hot parents wholly replaced
+    by their children, ownership evaluates at each row's own packed
+    resolution, so every pair is still emitted exactly once)."""
+    base = fan_out_area_cells(batch, r=r)
+    if len(hot_cells) == 0:
+        return base
+    hot_cells = np.asarray(hot_cells, dtype=np.int64)
+    in_hot = np.isin(base["cell"].to_numpy(), hot_cells)
+    cold = base.filter(pa.array(~in_hot))
+    hot_idx = np.nonzero(in_hot)[0]
+    if len(hot_idx) == 0:
+        return cold
+    hot_src = base.take(pa.array(hot_idx)).drop(
+        ["cell", "cell_ix", "cell_iy", "bucket"]
+    )
+    df = hot_src.to_pandas()
+    keep = df.reset_index().drop_duplicates(["akey"])["index"].to_numpy()
+    hot_src = hot_src.take(pa.array(np.sort(keep)))
+    fine = fan_out_area_cells(hot_src, r=r_hot)
+    shift = r_hot - r
+    parent = (
+        (np.int64(r) << 58)
+        | ((fine["cell_ix"].to_numpy() >> shift) << 29)
+        | (fine["cell_iy"].to_numpy() >> shift)
+    )
+    fine = fine.filter(pa.array(np.isin(parent, hot_cells)))
+    return pa.concat_tables([cold, fine])
+
+
+def area_hot_cells(areas_ds, *, r: int = 5, threshold: int) -> np.ndarray:
+    """Count pre-pass over the area fan-out (bounded hot set: at most
+    total_assignments / threshold cells)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        fanned = fan_out_area_cells(b, r=r)
+        u, c = np.unique(fanned["cell"].to_numpy(), return_counts=True)
+        return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    parts = areas_ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("cell").aggregate([("n", "sum")])
+        return pa.table({"cell": g["cell"], "n": g["n_sum"]})
+
+    refs = parts.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    tables = list(ray.get(refs))
+    if not tables:
+        return np.empty(0, dtype=np.int64)
+    t = pa.concat_tables(tables)
+    return t.filter(pc.greater(t["n"], threshold))["cell"].to_numpy().astype(np.int64)
+
+
+def overlap_aa_salted(mentions_ds, *, threshold: int = 50):
+    """overlap_aa with the hot-cell salting pre-pass (dense-cluster
+    cells' O(n^2) pair space split across 4^(r_hot-r) sub-keys);
+    output identical to the unsalted join (same oracle)."""
+    import ray
+
+    areas = mentions_ds.map_batches(
+        areas_from_mentions, batch_format="pyarrow"
+    ).materialize()
+    hot = area_hot_cells(areas, r=5, threshold=threshold)
+    hot_ref = ray.put(hot)
+
+    # r_hot one level finer only: area footprints are up to ~6 base
+    # cells wide, so each refinement level multiplies their fan-out ~2x
+    # in each axis — deeper salting costs more in assignments than the
+    # split O(n^2) saves (measured at sf0.1)
+    def fan(b: pa.Table) -> pa.Table:
+        return fan_out_area_cells_salted(b, ray.get(hot_ref), r=5, r_hot=6)
+
+    fanned = areas.map_batches(fan, batch_format="pyarrow")
+    return fanned.groupby("bucket").map_groups(
+        pairwise_aa_typed, batch_format="pandas"
+    )
