@@ -1772,6 +1772,9 @@ _ANGLE_RAW = ["47", "360", "SW", "forward"]
 _COLOR_RAW = ["#ff0000", "#010203", "0x0A0B0C", "ff0000"]
 _LEVELS_RAW = ["-1-3", "0-2;1-4", "5.5", "13 - 14"]
 _INCLINE_RAW = ["10%", "-5.5 %", "steep", "12.3%"]
+_WEIGHT_RAW = ["5", "3.5 t", "7500 kg", "heavy"]
+_UINT_RAW = ["42", "0", "-3", "4x"]
+_CTUPLE_RAW = ["hsv(0,100%,100%)", "hsv(120, 50%, 75%)", "rgb(1,2,3)", "hsv(x)"]
 
 
 def _case(col: str, mod: int, vals: list) -> str:
@@ -1792,15 +1795,19 @@ def _case(col: str, mod: int, vals: list) -> str:
            {_case('doc_id', 4, [47000, 0, 225000, None])} AS angle_mdeg,
            {_case('doc_id', 4, [16711680, 66051, 658188, None])} AS color_rgb,
            {_case('doc_id', 4, ['-1,0,1,2,3', '0,1,2,3,4', None, '13,14'])} AS levels_csv,
-           {_case('doc_id', 4, [10000, -5500, None, 12300])} AS incline_mpct
+           {_case('doc_id', 4, [10000, -5500, None, 12300])} AS incline_mpct,
+           {_case('doc_id', 4, [5000, 3500, None, None])} AS weight_g,
+           {_case('doc_id', 4, [42, 0, None, None])} AS uint_v,
+           {_case('doc_id', 4, [16711680, 6340448, None, None])} AS ctuple_rgb
     FROM documents
     """,
 )
 def q_parse_tags(sf_dir: str):
     """Tag-value normalizer kernels over a synthesized raw-tag table:
-    speed/measure/angle/color/levels/incline parsed with the exact
-    ValueParseUtil semantics (null on failure, float32 unit-constant
-    quirks), outputs snapped to integer milli-units."""
+    all 9 ValueParseUtil families (speed/measure/angle/color/levels/
+    incline/weight/uint/hsv-color-tuple) with exact reference semantics
+    (null on failure, float32 unit-constant quirks, Color.getHSBColor
+    rounding), outputs snapped to integer milli-units."""
     import math
 
     from ..functions import parsers as P
@@ -1822,6 +1829,9 @@ def q_parse_tags(sf_dir: str):
     col_v = pa.array([rgb(P.parse_color(v)) for v in _COLOR_RAW], pa.int64())
     lev_v = pa.array([csv(P.parse_levels(v)) for v in _LEVELS_RAW], pa.string())
     inc_v = pa.array([milli(P.parse_incline(v)) for v in _INCLINE_RAW], pa.int64())
+    wgt_v = pa.array([milli(P.parse_weight(v)) for v in _WEIGHT_RAW], pa.int64())
+    uin_v = pa.array([P.parse_uint(v) for v in _UINT_RAW], pa.int64())
+    ctp_v = pa.array([rgb(P.parse_color_tuple(v)) for v in _CTUPLE_RAW], pa.int64())
 
     def parse_batch(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy()
@@ -1836,6 +1846,9 @@ def q_parse_tags(sf_dir: str):
                 "color_rgb": col_v.take(i4),
                 "levels_csv": lev_v.take(i4),
                 "incline_mpct": inc_v.take(i4),
+                "weight_g": wgt_v.take(i4),
+                "uint_v": uin_v.take(i4),
+                "ctuple_rgb": ctp_v.take(i4),
             }
         )
 
@@ -3383,6 +3396,96 @@ def q_assemble_coastlines(sf_dir: str):
 
     return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
         coastlines_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# error-log compaction (ConversionLog.java:43-54 + O2WConverterImpl
+# print window :478-489)
+# ---------------------------------------------------------------------------
+
+_LOG_MAX = 4  # small print window so the truncation rule actually fires
+
+
+@register(
+    "log_compact",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 7 AS n, 1 + doc_id % 3 AS k,
+             CAST(ceil((3 + doc_id % 7) / (1.0 + doc_id % 3)) AS BIGINT) AS r
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, n, k, r, unnest(range(0, r)) AS j FROM docs
+    )
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           j * k AS entry_i,
+           'dup msg ' || j AS message,
+           least(k, n - j * k) - 1 AS n_suppressed
+    FROM runs
+    WHERE r <= {_LOG_MAX} OR j < {_LOG_MAX} // 2 OR j >= r - {_LOG_MAX - _LOG_MAX // 2}
+    """,
+)
+def q_log_compact(sf_dir: str):
+    """ConversionLog semantics over synthetic per-doc error streams:
+    consecutive-duplicate suppression (same level+message+element folds
+    into the survivor with a count, ConversionLog.java:43-54) via the
+    per-partition kernel — element boundaries stop folds at doc edges —
+    then the per-conversion head/tail print window (first half + last
+    ceil-half when over maxLogEntries, O2WConverterImpl.java:478-489)."""
+    import pandas as pd
+
+    from ..functions.logcompact import suppress_consecutive
+
+    def gen_and_compact(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy().astype(np.int64)
+        n = 3 + doc % 7
+        k = 1 + doc % 3
+        total = int(n.sum())
+        d_rep = np.repeat(doc, n)
+        k_rep = np.repeat(k, n)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        i = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+        msg_id = i // k_rep
+        df = pd.DataFrame(
+            {
+                "level": np.full(total, "W"),
+                "message": pd.Series(msg_id).map(lambda j: f"dup msg {j}").to_numpy(),
+                "element": d_rep,
+                "entry_i": i,
+            }
+        )
+        out = suppress_consecutive(df)
+        # per-conversion print window, vectorized over docs: rank of
+        # each surviving entry within its doc vs the doc's run count
+        el = out["element"].to_numpy()
+        first = np.concatenate(([True], el[1:] != el[:-1]))
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(len(el)), 0))
+        rank = np.arange(len(el)) - grp_start
+        r_per = np.diff(np.concatenate((np.nonzero(first)[0], [len(el)])))
+        r_rep = np.repeat(r_per, r_per)
+        keep = (
+            (r_rep <= _LOG_MAX)
+            | (rank < _LOG_MAX // 2)
+            | (rank >= r_rep - (_LOG_MAX - _LOG_MAX // 2))
+        )
+        out = out[keep]
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"{synth.URL_PREFIX}{d}" for d in out["element"]],
+                    type=pa.string(),
+                ),
+                "entry_i": pa.array(out["entry_i"].to_numpy().astype(np.int64)),
+                "message": pa.array(out["message"].to_numpy().astype(str)),
+                "n_suppressed": pa.array(
+                    out["n_suppressed"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        gen_and_compact, batch_format="pyarrow"
     )
 
 
