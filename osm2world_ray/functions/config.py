@@ -82,6 +82,13 @@ class O2WConfig:
             "ConstraintEleCalculator",
         ) else "BridgeTunnelEleCalculator"
 
+    def spatial_index(self) -> str:
+        """spatialIndex strategy name: IndexGrid (default) or
+        Map2dTree (SpatialIndex implementations,
+        math/datastructures/)."""
+        name = self.get_string("spatialIndex")
+        return name if name in ("IndexGrid", "Map2dTree") else "IndexGrid"
+
     def max_log_entries(self) -> int:
         """maxLogEntries (log head+tail truncation bound)."""
         return self.get_int("maxLogEntries", 100)

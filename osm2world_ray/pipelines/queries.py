@@ -302,6 +302,35 @@ def q_pip_join(sf_dir: str):
     )
 
 
+ORACLES["pip_join_kdtree"] = ORACLES["pip_join_contain"]
+
+
+@register("pip_join_kdtree")
+def q_pip_join_kdtree(sf_dir: str):
+    """pip_join_contain with the Map2dTree index strategy (mean-split
+    k-d tree with both-children duplication, Map2dTree.java:27-150)
+    selected via the spatialIndex config key — byte-identical results
+    prove the strategies interchange behind the probe API."""
+    import ray
+
+    from ..functions.config import O2WConfig
+    from ..sources.boundaries import boundaries_table
+    from ..stages.pip_join import PIPJoin
+
+    cfg = O2WConfig({"spatialIndex": "Map2dTree"})
+    ref = ray.put(boundaries_table())
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"boundaries_ref": ref,
+                               "strategy": cfg.spatial_index()},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def _typed_overlap_sql() -> str:
     from ..sources.boundaries import BOUNDARY_SPECS, Diamond
 

@@ -27,9 +27,15 @@ from ..geo.pip import points_in_polygon, ring_bbox
 
 
 class BoundaryIndex:
-    """Decoded boundary rings + uniform grid over their bboxes."""
+    """Decoded boundary rings + a spatial index over their bboxes.
 
-    def __init__(self, boundaries: pa.Table):
+    ``strategy`` selects the index implementation — "IndexGrid"
+    (uniform grid, the converter's default) or "Map2dTree" (mean-split
+    k-d tree, ``Map2dTree.java:27-150``) — behind the identical
+    probe-candidates API, so join results are byte-identical across
+    strategies (exact tests re-check every candidate)."""
+
+    def __init__(self, boundaries: pa.Table, *, strategy: str = "IndexGrid"):
         self.ids = boundaries["boundary_id"].to_numpy()
         self.polys: list[tuple[np.ndarray, list[np.ndarray]]] = []
         bbs = []
@@ -40,7 +46,14 @@ class BoundaryIndex:
             bbs.append(ring_bbox(outer))
         bbs = np.asarray(bbs, dtype=np.float64).reshape(-1, 4)
         self.bbox = bbs
-        self.grid = GridIndex(bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3], n_cells_hint=32)
+        if strategy == "Map2dTree":
+            from ..geo.kdtree import KdTreeIndex
+
+            self.grid = KdTreeIndex(bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3])
+        else:
+            self.grid = GridIndex(
+                bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3], n_cells_hint=32
+            )
 
     def contains(self, lon: np.ndarray, lat: np.ndarray):
         """-> (point_idx, entry_idx) pairs where point is inside polygon."""
@@ -67,9 +80,9 @@ class PIPJoin:
     ``ray.put``) or a plain Arrow table (tests).
     """
 
-    def __init__(self, boundaries_ref):
+    def __init__(self, boundaries_ref, *, strategy: str = "IndexGrid"):
         boundaries = _resolve(boundaries_ref)
-        self.index = BoundaryIndex(boundaries)
+        self.index = BoundaryIndex(boundaries, strategy=strategy)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
