@@ -3518,6 +3518,36 @@ def q_log_compact(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# OBJ text sink (FaceOutput / ObjOutput geometry half)
+# ---------------------------------------------------------------------------
+
+@register(
+    "export_obj",
+    f"""
+    SELECT doc_id % 16 AS part,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 10 END) AS BIGINT)
+             AS n_vertices,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 8 END) AS BIGINT)
+             AS n_faces
+    FROM documents GROUP BY 1
+    """,
+)
+def q_export_obj(sf_dir: str):
+    """Partitioned OBJ text export: per-doc hole-bridged triangulations
+    written as deterministic v/f line files with per-doc vertex-index
+    offsets (FaceOutput vertex bookkeeping, ObjOutput format); returns
+    the per-partition metrics rows. Vertex/face counts are closed-form
+    per doc class (16/14 two-hole, 10/8 one-hole merged rings)."""
+    import tempfile
+
+    from ..state.obj_sink import export_obj
+
+    out_dir = tempfile.mkdtemp(prefix="o2w_obj_", dir="/tmp")
+    return export_obj(sf_dir, out_dir)
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
