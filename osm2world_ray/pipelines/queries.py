@@ -3548,6 +3548,50 @@ def q_export_obj(sf_dir: str):
     return export_obj(sf_dir, out_dir)
 
 
+# ---------------------------------------------------------------------------
+# OSM JSON reader (JsonReader.java:24-120, OSM API + Overpass dialects)
+# ---------------------------------------------------------------------------
+
+@register(
+    "read_osm_json",
+    f"""
+    WITH {synth.MENTIONS_SQL},
+    node_agg AS (
+      SELECT doc_id, count(*) AS n_nodes,
+             CAST(sum(CAST(floor(lat * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_lat_udeg
+      FROM mentions GROUP BY 1
+    )
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           n_nodes,
+           n_nodes AS n_way_refs,
+           CASE WHEN doc_id % 33 = 0 THEN 4
+                WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END AS n_members,
+           sum_lat_udeg
+    FROM node_agg
+    """,
+)
+def q_read_osm_json(sf_dir: str):
+    """OSM JSON source: deterministic shards (alternating quoted/
+    numeric version attributes — the OSM-API/Overpass dialect split the
+    reference normalizes, JsonReader.java:108-117) streamed via
+    read_binary_files and parsed by an actor pool with reference fault
+    semantics (version gate, typed element dispatch, invalid member
+    types fail)."""
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from ..sources.osm_json import read_osm_json, write_synth_shards
+
+    doc_ids = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    out_dir = tempfile.mkdtemp(prefix="o2w_json_", dir="/tmp")
+    paths = write_synth_shards(doc_ids, out_dir)
+    return read_osm_json(paths)
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -1,0 +1,76 @@
+"""OSM JSON reader kernels (JsonReader.java semantics)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from osm2world_ray.sources.osm_json import (
+    normalize_version,
+    parse_osm_json,
+    write_synth_shards,
+)
+
+
+def test_version_normalization_both_dialects():
+    assert '"version": "0.6"' in normalize_version('{"version": 0.6}')
+    assert '"version": "0.6"' in normalize_version('{"version"  :  0.6}')
+    # already-quoted stays intact
+    assert normalize_version('{"version": "0.6"}') == '{"version": "0.6"}'
+
+
+def test_unsupported_version_fails():
+    with pytest.raises(ValueError, match="Unsupported OSM JSON version"):
+        parse_osm_json('{"version": 0.7, "elements": []}')
+
+
+def test_element_dispatch():
+    doc = {
+        "version": "0.6",
+        "elements": [
+            {"type": "node", "id": 1, "lat": 48.5, "lon": 13.4,
+             "tags": {"natural": "tree"}},
+            {"type": "way", "id": 2, "nodes": [1, 1], "tags": {}},
+            {"type": "relation", "id": 3,
+             "members": [{"type": "way", "ref": 2, "role": "outer"}],
+             "tags": {"type": "multipolygon"}},
+        ],
+    }
+    nodes, ways, rels = parse_osm_json(json.dumps(doc))
+    assert nodes == [(1, 48.5, 13.4, {"natural": "tree"})]
+    assert ways == [(2, [1, 1], {})]
+    assert rels == [(3, [("way", 2, "outer")], {"type": "multipolygon"})]
+
+
+def test_invalid_member_type_fails():
+    doc = {"version": "0.6", "elements": [
+        {"type": "relation", "id": 1,
+         "members": [{"type": "area", "ref": 9, "role": ""}]}]}
+    with pytest.raises(ValueError, match="Invalid member type"):
+        parse_osm_json(json.dumps(doc))
+
+
+def test_unsupported_element_type_fails():
+    doc = {"version": "0.6", "elements": [{"type": "changeset", "id": 1}]}
+    with pytest.raises(ValueError, match="Unsupported OSM element type"):
+        parse_osm_json(json.dumps(doc))
+
+
+def test_shards_round_trip_exact_floats(tmp_path):
+    paths = write_synth_shards(np.arange(10, dtype=np.int64), str(tmp_path),
+                               docs_per_shard=4)
+    assert len(paths) == 3
+    from osm2world_ray.sources import synth
+
+    total_nodes = 0
+    for i, p in enumerate(paths):
+        text = open(p).read()
+        if i % 2 == 1:
+            assert '"version": 0.6' in text  # numeric dialect
+        nodes, ways, rels = parse_osm_json(text)
+        total_nodes += len(nodes)
+        for nid, lat, lon, _tags in nodes:
+            d, j = nid // 4, nid % 4
+            elat, elon = synth.mention_latlon(np.array([d]), np.array([j]))
+            assert lat == elat[0] and lon == elon[0]  # bit-exact round trip
+    assert total_nodes == sum(int(d % 3) + 1 for d in range(10))
