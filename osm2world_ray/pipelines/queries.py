@@ -3592,6 +3592,59 @@ def q_read_osm_json(sf_dir: str):
     return read_osm_json(paths)
 
 
+# ---------------------------------------------------------------------------
+# distributed k-means training (iterative Lloyd over embeddings)
+# ---------------------------------------------------------------------------
+
+def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    snap = "floor(avg(e.emb[d.i]::DOUBLE) * 1048576 + 0.5)/1048576.0"
+    ctes = [
+        "e AS (SELECT vec_id, embedding AS emb FROM embeddings)",
+        f"dims AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+        f"""init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, emb
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))""",
+        "c0 AS (SELECT k, i, init.emb[i]::DOUBLE AS v FROM init, dims)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""d{t} AS (
+          SELECT e.vec_id, c.k,
+                 sum((e.emb[c.i]::DOUBLE - c.v)*(e.emb[c.i]::DOUBLE - c.v)) AS d2
+          FROM e CROSS JOIN {prev} c GROUP BY 1, 2)""")
+        ctes.append(f"""a{t} AS (
+          SELECT vec_id, k AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, k) AS rn FROM d{t}
+          ) WHERE rn = 1)""")
+        if t < iters:
+            ctes.append(f"""c{t} AS (
+              SELECT a.cluster AS k, d.i, {snap} AS v
+              FROM e JOIN a{t} a USING (vec_id), dims d GROUP BY 1, 2
+              UNION ALL
+              SELECT p.k, p.i, floor(p.v * 1048576 + 0.5)/1048576.0
+              FROM {prev} p
+              WHERE p.k NOT IN (SELECT DISTINCT cluster FROM a{t}))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster FROM a{iters}"
+    )
+
+
+@register("kmeans_clusters", _kmeans_sql())
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding column: per-batch
+    partial (sum, count) statistics against broadcast centroids, K-row
+    partials reduced per iteration, grid-snapped means for run-to-run
+    determinism. The oracle replays the identical 3 iterations as
+    chained SQL CTEs (init = K smallest vec_ids, argmin ties to the
+    smaller cluster, empty clusters keep their centroid)."""
+    from ..stages.kmeans import kmeans_fit
+
+    assignments, _cents = kmeans_fit(datasets.embeddings_ds(sf_dir))
+    return assignments
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

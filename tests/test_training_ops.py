@@ -305,3 +305,13 @@ def test_rows_only_query_deterministic(name, ray_session):
     a, b = run(), run()
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmeans_assign_determinism_and_ties():
+    import numpy as np
+    from osm2world_ray.stages.kmeans import _assign
+
+    emb = np.array([[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]])
+    cents = np.array([[0.0, 0.0], [1.0, 1.0]])
+    a = _assign(emb, cents)
+    assert a.tolist() == [0, 1, 0]  # exact tie -> smallest cluster idx
