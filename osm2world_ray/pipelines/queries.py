@@ -3645,6 +3645,209 @@ def q_kmeans_clusters(sf_dir: str):
     return assignments
 
 
+# ---------------------------------------------------------------------------
+# elevation constraint enforcement (SimpleEleConstraintEnforcer.java:
+# 147-184: stiff-set average + ABOVE/BELOW offsets)
+# ---------------------------------------------------------------------------
+
+def _enforce_merge(group):
+    """Bucket co-group on node: attach component labels to ele rows."""
+    import pandas as pd
+
+    comp = group[group["kind"] == 0]
+    ele = group[group["kind"] == 1]
+    m = ele[["node", "ele", "state"]].merge(
+        comp[["node", "component"]], on="node", how="inner"
+    )
+    return pa.table(
+        {
+            "node": pa.array(m["node"].to_numpy(dtype=np.int64)),
+            "ele": pa.array(m["ele"].to_numpy(dtype=np.float64)),
+            "state": pa.array(m["state"].to_numpy(dtype=np.int64)),
+            "component": pa.array(m["component"].to_numpy(dtype=np.int64)),
+            "bucket": pa.array(
+                overlaps_bucket(m["component"].to_numpy(dtype=np.int64))
+            ),
+        }
+    )
+
+
+def _enforce_avg(group):
+    """Bucket of components: stiff-set average + ground-state offset
+    (:151-183); emits one row per member."""
+    import pandas as pd
+
+    comp = group["component"].to_numpy(dtype=np.int64)
+    order = np.argsort(comp, kind="stable")
+    g = group.iloc[order]
+    comp = comp[order]
+    ele = g["ele"].to_numpy(dtype=np.float64)
+    first = np.concatenate(([True], comp[1:] != comp[:-1]))
+    gid = np.cumsum(first) - 1
+    sums = np.zeros(gid[-1] + 1 if len(gid) else 0)
+    cnts = np.zeros(len(sums), dtype=np.int64)
+    np.add.at(sums, gid, ele)
+    np.add.at(cnts, gid, 1)
+    avg = (sums / cnts)[gid]
+    state = g["state"].to_numpy(dtype=np.int64)
+    final = avg + np.where(state == 1, 5.0, np.where(state == 2, -5.0, 0.0))
+    node = g["node"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "url": pa.array(
+                [f"{synth.URL_PREFIX}{n >> 2}" for n in node], type=pa.string()
+            ),
+            "mention_idx": pa.array(node % 4),
+            "ele_mm": pa.array(np.floor(final * 1000.0 + 0.5).astype(np.int64)),
+        }
+    )
+
+
+def overlaps_bucket(x):
+    from ..stages.overlaps import bucket_of
+
+    return bucket_of(x)
+
+
+@register(
+    "enforce_ele",
+    f"""
+    WITH RECURSIVE {synth.MENTIONS_SQL}, {_FOOTPRINTS_SQL},
+    e0 AS (
+      SELECT a.mkey AS src, b.mkey AS dst
+      FROM f a JOIN f b
+        ON a.mkey < b.mkey
+       AND a.minx <= b.maxx AND a.maxx >= b.minx
+       AND a.miny <= b.maxy AND a.maxy >= b.miny
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    walk(node, label) AS (
+      SELECT mkey, mkey FROM f
+      UNION
+      SELECT e.dst, walk.label FROM walk JOIN e ON e.src = walk.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+    q AS (
+      SELECT doc_id, url, mention_idx, doc_id * 4 + mention_idx AS node,
+             (doc_id * 3 + mention_idx) % 3 AS state,
+             (lon + 180.0) * 128 AS qx, (lat + 90.0) * 128 AS qy,
+             {synth.sql_cell_ix('lon', 7)} AS cx,
+             {synth.sql_cell_iy('lat', 7)} AS cy
+      FROM mentions
+    ),
+    w AS (
+      SELECT node,
+             1.0 / ((qx - (cx + dx.x + 0.5)) ^ 2 + (qy - (cy + dy.y + 0.5)) ^ 2) AS wgt,
+             (((cx + dx.x) * 73856093 + (cy + dy.y) * 19349663) % 4000) AS sele
+      FROM q, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+    ),
+    ele AS (SELECT node, sum(wgt * sele) / sum(wgt) AS ele FROM w GROUP BY 1),
+    j AS (
+      SELECT q.url, q.mention_idx, q.state, ele.ele, comp.component
+      FROM q JOIN ele USING (node) JOIN comp USING (node)
+    ),
+    avgc AS (SELECT component, avg(ele) AS a FROM j GROUP BY 1)
+    SELECT j.url, j.mention_idx,
+           CAST(floor((avgc.a + CASE j.state WHEN 1 THEN 5.0
+                                             WHEN 2 THEN -5.0
+                                             ELSE 0.0 END) * 1000 + 0.5)
+                AS BIGINT) AS ele_mm
+    FROM j JOIN avgc USING (component)
+    """,
+)
+def q_enforce_ele(sf_dir: str):
+    """Elevation constraint enforcement: stiff sets (the footprint-
+    overlap components = requireSameEle groups) take the AVERAGE of
+    their members' terrain elevations, then ABOVE/BELOW connectors
+    offset +-5 (SimpleEleConstraintEnforcer.java:147-184). Pipeline:
+    IDW connector elevations (actor pool) + distributed components,
+    co-grouped on the node key, averaged per component in ONE more
+    bounded-bucket shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.components import connected_components
+    from ..stages.raster import IDWInterpolate
+
+    ds = datasets.mentions_ds(sf_dir).materialize()
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        doc = pc.utf8_slice_codeunits(
+            b["url"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        return pa.table({"node": pa.array(doc * 4 + b["mention_idx"].to_numpy())})
+
+    nodes = ds.map_batches(to_nodes, batch_format="pyarrow")
+    pairs = _overlap_pairs_from(ds, urlized=False)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy()
+        ja = b["mention_idx_a"].to_numpy()
+        lat, lon = synth.mention_latlon(da, ja)
+        ix = np.floor((lon + 180.0) * 32.0).astype(np.int64)
+        iy = np.floor((lat + 90.0) * 32.0).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(da * 4 + ja),
+                "dst": pa.array(b["doc_b"].to_numpy() * 4 + b["mention_idx_b"].to_numpy()),
+                "bucket": pa.array((ix << 32) | iy),
+            }
+        )
+
+    comp = connected_components(
+        nodes, pairs.map_batches(to_edges, batch_format="pyarrow"),
+        edges_have_bucket=True,
+    )
+
+    def comp_rows(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy()
+        return pa.table(
+            {
+                "node": b["node"],
+                "component": b["label"],
+                "ele": pa.array(np.zeros(len(node))),
+                "state": pa.array(np.zeros(len(node), dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(node), dtype=np.int64)),
+                "bucket": pa.array(overlaps_bucket(node)),
+            }
+        )
+
+    ele = ds.map_batches(
+        IDWInterpolate,
+        fn_constructor_kwargs={"raw": True},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def ele_rows(b: pa.Table) -> pa.Table:
+        doc = pc.utf8_slice_codeunits(
+            b["url"], len(synth.URL_PREFIX), 99
+        ).cast(pa.int64()).to_numpy()
+        midx = b["mention_idx"].to_numpy()
+        node = doc * 4 + midx
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "component": pa.array(np.zeros(len(node), dtype=np.int64)),
+                "ele": b["ele"],
+                "state": pa.array((doc * 3 + midx) % 3),
+                "kind": pa.array(np.ones(len(node), dtype=np.int64)),
+                "bucket": pa.array(overlaps_bucket(node)),
+            }
+        )
+
+    union = comp.map_batches(comp_rows, batch_format="pyarrow").union(
+        ele.map_batches(ele_rows, batch_format="pyarrow")
+    )
+    merged = union.groupby("bucket").map_groups(
+        _enforce_merge, batch_format="pandas"
+    )
+    return merged.groupby("bucket").map_groups(
+        _enforce_avg, batch_format="pandas"
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -129,8 +129,11 @@ class RasterSites:
     each bbox (raster->vector; ``SRTMData.getSites`` semantics with a
     per-actor lazy tile cache)."""
 
-    def __init__(self, *, r: int = 7):
+    def __init__(self, *, r: int = 7, raw: bool = False):
         self.r = r
+        #: raw=True emits the unsnapped float elevation as ``ele`` —
+        #: the connector-elevation input of the constraint enforcer
+        self.raw = raw
         self.cache: dict[tuple[int, int], np.ndarray] = {}
 
     def _tile(self, tx: int, ty: int) -> np.ndarray:
@@ -178,8 +181,11 @@ class IDWInterpolate:
     the query's cell; weights 1/d^2 over the 3x3 cell-center
     neighborhood, integer milli-meter output."""
 
-    def __init__(self, *, r: int = 7):
+    def __init__(self, *, r: int = 7, raw: bool = False):
         self.r = r
+        #: raw=True emits the unsnapped float elevation as ``ele`` —
+        #: the connector-elevation input of the constraint enforcer
+        self.raw = raw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         r = self.r
@@ -201,6 +207,14 @@ class IDWInterpolate:
                 w = 1.0 / d2  # queries never sit exactly on a center
                 num += w * ele
                 den += w
+        if self.raw:
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "mention_idx": batch["mention_idx"],
+                    "ele": pa.array(num / den),
+                }
+            )
         ele_mm = np.floor(num / den * 1000.0 + 0.5).astype(np.int64)
         return pa.table(
             {
