@@ -3848,6 +3848,80 @@ def q_enforce_ele(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation filter chain (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+#: curation thresholds (the C4-style length/stopword gates)
+_CF_MIN_TOKENS = 20
+_CF_MIN_STOP = 2
+
+
+@register(
+    "corpus_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_STOPWORDS_SQL}))) AS stopword_count
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, stopword_count
+    FROM scored
+    WHERE lang = 'en'
+      AND n_tokens >= {_CF_MIN_TOKENS}
+      AND stopword_count >= {_CF_MIN_STOP}
+    """,
+)
+def q_corpus_filter(sf_dir: str):
+    """End-to-end curation chain: language gate -> quality gates
+    (minimum token count + stopword floor, the C4-style heuristics) as
+    ONE streaming pass — scoring and filtering fused in the actor so
+    dropped rows never leave the worker (no shuffle, no
+    materialization; the dedup stages chain after this in the full
+    corpus pipeline)."""
+    import pandas as pd
+
+    from ..stages.textstats import QualityScore
+
+
+    class FilterChain:
+        def __init__(self):
+            self.scorer = QualityScore()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keep = batch["lang"].to_numpy() == "en"
+            batch = batch[keep]
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "n_tokens": pa.array([], type=pa.int64()),
+                        "stopword_count": pa.array([], type=pa.int64()),
+                    }
+                )
+            s = self.scorer(batch)
+            ok = (s["n_tokens"] >= _CF_MIN_TOKENS) & (
+                s["stopword_count"] >= _CF_MIN_STOP
+            )
+            out = s[ok]
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+                    "n_tokens": pa.array(out["n_tokens"].to_numpy(dtype=np.int64)),
+                    "stopword_count": pa.array(
+                        out["stopword_count"].to_numpy(dtype=np.int64)
+                    ),
+                }
+            )
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text", "lang"])
+    return ds.map_batches(
+        FilterChain, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
