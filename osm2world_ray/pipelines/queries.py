@@ -3922,6 +3922,64 @@ def q_corpus_filter(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# hopping (sliding) windows + deterministic corpus sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hopping",
+    """
+    SELECT win, event_type,
+           CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n
+    FROM (
+      SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) - d.i AS win,
+             event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events, (VALUES (0), (1)) d(i)
+    ) GROUP BY 1, 2
+    """,
+)
+def q_events_hopping(sf_dir: str):
+    """Hopping windowed aggregate (10-minute windows, 5-minute hop):
+    each event fans out to its WINDOW/HOP covering windows, then the
+    identical partial + bounded-bucket combine as the tumbling rollup
+    — the sliding-aggregate member of the window family."""
+    from ..stages.windows import hopping_partial, tumbling_combine
+
+    ds = datasets.events_ds(sf_dir)
+    ds = ds.map_batches(hopping_partial, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        tumbling_combine, batch_format="pandas"
+    )
+
+
+_SAMPLE_PCT = 10
+
+
+@register(
+    "corpus_sample",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE (doc_id * {synth.M1}) % {synth.TWO32} % 100 < {_SAMPLE_PCT}
+    """,
+)
+def q_corpus_sample(sf_dir: str):
+    """Deterministic hash-based Bernoulli sampling (the reproducible
+    corpus-subsampling op): keep ~{pct}%% of docs by a key-hash gate —
+    a pure per-batch filter with no RNG state, so re-runs and retried
+    tasks select the identical sample at any scale.""".replace(
+        "{pct}", str(_SAMPLE_PCT)
+    )
+    def pick(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy().astype(np.int64)
+        keep = (doc * synth.M1) % synth.TWO32 % 100 < _SAMPLE_PCT
+        return b.filter(pa.array(keep))
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

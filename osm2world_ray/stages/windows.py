@@ -138,3 +138,46 @@ def asof_join(group: pd.DataFrame, *, left_type: str = "click",
             "asof_event_id": re_[idx],
         }
     )
+
+
+#: hopping window: 10-minute windows advancing every 5 minutes — each
+#: event lands in WINDOW/HOP = 2 windows (the sliding-aggregate form of
+#: the tumbling rollup; fan-out + identical partial/combine discipline)
+HOP_US = 300_000_000
+HOP_WINDOW_US = 600_000_000
+
+
+def hopping_partial(batch: pa.Table) -> pa.Table:
+    """events batch -> partial per (hop-window start, event_type):
+    the event at t belongs to windows starting at
+    (t//HOP - k)*HOP for k in 0..WINDOW/HOP-1 with start > t - WINDOW."""
+    t = _ts_us(batch)
+    etype_all = batch["event_type"]
+    cents_all = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    k = HOP_WINDOW_US // HOP_US
+    parts = []
+    for i in range(k):
+        win = (t // HOP_US - i) * HOP_US
+        keep = win > t - HOP_WINDOW_US
+        parts.append(
+            pa.table(
+                {
+                    "win": pa.array(win[keep] // HOP_US),
+                    "event_type": etype_all.filter(pa.array(keep)),
+                    "cents": pa.array(cents_all[keep]),
+                }
+            )
+        )
+    t2 = pa.concat_tables(parts)
+    g = t2.group_by(["win", "event_type"]).aggregate(
+        [("cents", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "win": g["win"],
+            "event_type": g["event_type"],
+            "sum_cents": g["cents_sum"].cast(pa.int64()),
+            "n": g["count_all"].cast(pa.int64()),
+            "bucket": pa.array(bucket_of(g["win"].to_numpy())),
+        }
+    )
