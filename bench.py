@@ -10,6 +10,7 @@ Modes:
   python bench.py                 # full suite at $RAY_GRAFT_CPUS (default 32)
   python bench.py --scaling       # flagship at 8 and 32 cpus in fresh
                                   # processes; reports scaling efficiency
+  python bench.py --stress        # 20M-doc sustained-throughput run
   python bench.py --single flagship --cpus 8   # internal (scaling child)
 """
 
@@ -144,8 +145,38 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_stress(sf_dir: str, num_cpus: int) -> dict:
+    """20M-doc flagship stress (sf0.1 x 4096 replicas): sustained
+    throughput + spill check for BASELINE.md §4."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from osm2world_ray.pipelines.flagship import flagship_pipeline
+
+    _consume(flagship_pipeline(sf_dir, repeat=1))
+    reps = int(os.environ.get("GRAFT_STRESS_REPS", "4096"))
+    t0 = time.perf_counter()
+    _consume(flagship_pipeline(sf_dir, repeat=reps))
+    dt = time.perf_counter() - t0
+    docs = _doc_count(sf_dir) * reps
+    ray.shutdown()
+    return {
+        "metric": "flagship stress throughput",
+        "value": round(docs / dt, 1),
+        "unit": "docs_per_sec",
+        "queries": {"stress_sec": round(dt, 3)},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs": docs,
+        "docs_per_sec": round(docs / dt, 1),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if "--stress" in args:
+        print(json.dumps(run_stress(SF_DIR, NUM_CPUS)))
+        return
     if "--single" in args:
         cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else NUM_CPUS
         print(json.dumps(run_single(SF_DIR, cpus)))
