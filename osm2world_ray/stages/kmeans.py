@@ -45,9 +45,20 @@ def kmeans_fit(embeddings_ds, *, k: int = K_DEFAULT,
 
     ds = embeddings_ds.materialize()
 
-    # deterministic init: K smallest vec_ids in order (bounded take)
-    init = ds.sort("vec_id").limit(k).to_pandas()
-    cents = np.asarray(init["embedding"].to_list(), dtype=np.float64)
+    # deterministic init: K smallest vec_ids — per-batch partial top-K
+    # + a K*n_blocks driver reduce (no global sort shuffle)
+    def topk_partial(batch: pa.Table, *, _k=k) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:_k]
+        return batch.select(["vec_id", "embedding"]).take(pa.array(take))
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(topk_partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    order = np.argsort(parts["vec_id"].to_numpy(), kind="stable")[:k]
+    cents = np.asarray(
+        parts.take(pa.array(order))["embedding"].to_pylist(), dtype=np.float64
+    )
 
     # `iters` assignment passes total: iters-1 update cycles + the
     # final labelled assignment below
