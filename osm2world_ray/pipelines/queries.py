@@ -3980,6 +3980,100 @@ def q_corpus_sample(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# eleCalculator strategy: EleTagEleCalculator (ele tags override terrain)
+# ---------------------------------------------------------------------------
+
+#: raw ele tag strings per (doc*3+j)%4 when the mention carries an ele
+#: tag ((doc*3+j)%5 == 0): two parseable, two parseOsmDecimal failures
+_ELE_RAW = ["550", "-12.5", "1,5", "high"]
+
+
+@register(
+    "ele_tag_calc",
+    f"""
+    WITH {synth.MENTIONS_SQL}, q AS (
+      SELECT url, mention_idx, doc_id * 3 + mention_idx AS k,
+             (lon + 180.0) * 128 AS qx, (lat + 90.0) * 128 AS qy,
+             {synth.sql_cell_ix('lon', 7)} AS cx,
+             {synth.sql_cell_iy('lat', 7)} AS cy
+      FROM mentions
+    ),
+    w AS (
+      SELECT url, mention_idx, k,
+             1.0 / ((qx - (cx + dx.x + 0.5)) ^ 2 + (qy - (cy + dy.y + 0.5)) ^ 2) AS wgt,
+             (((cx + dx.x) * 73856093 + (cy + dy.y) * 19349663) % 4000) AS sele
+      FROM q, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+    ),
+    terr AS (
+      SELECT url, mention_idx, k,
+             CAST(floor(sum(wgt * sele) / sum(wgt) * 1000 + 0.5) AS BIGINT)
+               AS terrain_mm
+      FROM w GROUP BY 1, 2, 3
+    )
+    SELECT url, mention_idx,
+           CASE WHEN k % 5 = 0 AND k % 4 = 0 THEN 550000
+                WHEN k % 5 = 0 AND k % 4 = 1 THEN -12500
+                ELSE terrain_mm  -- no ele tag, or unparseable value
+           END AS ele_mm
+    FROM terr
+    """,
+)
+def q_ele_tag_calc(sf_dir: str):
+    """EleTagEleCalculator semantics (EleTagEleCalculator.java:10-20 +
+    TagEleCalculator.java:29-53): connectors whose tags carry a
+    parseable ``ele`` value take it verbatim; unparseable or missing
+    ele tags keep the terrain elevation. Selected via the eleCalculator
+    config registry; terrain side is the IDW interpolator stage."""
+    from ..functions.config import O2WConfig
+    from ..functions.parsers import parse_osm_decimal
+    from ..stages.raster import IDWInterpolate
+
+    assert O2WConfig(
+        {"eleCalculator": "EleTagEleCalculator"}
+    ).ele_calculator() == "EleTagEleCalculator"
+    # parse each raw variant once with the real kernel
+    parsed = [parse_osm_decimal(v) for v in _ELE_RAW]
+
+    class EleTagCalc(IDWInterpolate):
+        def __init__(self):
+            super().__init__(raw=True)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            out = super().__call__(batch)
+            doc = pc.utf8_slice_codeunits(
+                batch["url"], len(synth.URL_PREFIX), 99
+            ).cast(pa.int64()).to_numpy()
+            k = doc * 3 + batch["mention_idx"].to_numpy()
+            terrain = out["ele"].to_numpy()
+            ele = terrain.copy()
+            has_tag = k % 5 == 0
+            for vi, pv in enumerate(parsed):
+                if pv is None:
+                    continue  # unparseable: terrain stays (:31-35)
+                sel = has_tag & (k % 4 == vi)
+                ele[sel] = pv
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "mention_idx": batch["mention_idx"],
+                    "ele_mm": pa.array(
+                        np.floor(ele * 1000.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+    return datasets.mentions_ds(sf_dir).map_batches(
+        EleTagCalc,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
