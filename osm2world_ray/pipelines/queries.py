@@ -4074,6 +4074,28 @@ def q_ele_tag_calc(sf_dir: str):
     )
 
 
+ORACLES["read_osm_xml"] = ORACLES["read_osm_json"]
+
+
+@register("read_osm_xml")
+def q_read_osm_xml(sf_dir: str):
+    """OSM XML (.osm fixture format, OSMFileReader path) reader with
+    the identical entity model and summary output as read_osm_json —
+    the two dialect readers share one oracle, proving format parity."""
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from ..sources.osm_xml import read_osm_xml, write_synth_xml_shards
+
+    doc_ids = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    out_dir = tempfile.mkdtemp(prefix="o2w_xml_", dir="/tmp")
+    paths = write_synth_xml_shards(doc_ids, out_dir)
+    return read_osm_xml(paths)
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

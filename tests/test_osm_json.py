@@ -74,3 +74,44 @@ def test_shards_round_trip_exact_floats(tmp_path):
             elat, elon = synth.mention_latlon(np.array([d]), np.array([j]))
             assert lat == elat[0] and lon == elon[0]  # bit-exact round trip
     assert total_nodes == sum(int(d % 3) + 1 for d in range(10))
+
+
+def test_xml_reader_agrees_with_json_reader(tmp_path):
+    """Both dialect readers must produce identical entities for the
+    same synthetic docs (float round-trip via repr serialization)."""
+    import numpy as np
+    from osm2world_ray.sources.osm_json import parse_osm_json, write_synth_shards
+    from osm2world_ray.sources.osm_xml import parse_osm_xml, write_synth_xml_shards
+
+    ids = np.arange(12, dtype=np.int64)
+    jp = write_synth_shards(ids, str(tmp_path / "j"), docs_per_shard=5)
+    xp = write_synth_xml_shards(ids, str(tmp_path / "x"), docs_per_shard=5)
+    jn, jw, jr = [], [], []
+    for p in jp:
+        n, w, r = parse_osm_json(open(p).read())
+        jn += n; jw += w; jr += r
+    xn, xw, xr = [], [], []
+    for p in xp:
+        n, w, r = parse_osm_xml(open(p).read())
+        xn += n; xw += w; xr += r
+    assert sorted(jn) == sorted(xn)
+    assert sorted(jw) == sorted(xw)
+    assert sorted(jr) == sorted(xr)
+
+
+def test_xml_fault_semantics():
+    import pytest
+    from osm2world_ray.sources.osm_xml import parse_osm_xml
+
+    with pytest.raises(ValueError, match="version"):
+        parse_osm_xml('<osm version="0.5"></osm>')
+    with pytest.raises(ValueError, match="Invalid member type"):
+        parse_osm_xml(
+            '<osm version="0.6"><relation id="1">'
+            '<member type="area" ref="2" role=""/></relation></osm>'
+        )
+    # bounds metadata is skipped, not an error
+    n, w, r = parse_osm_xml(
+        '<osm version="0.6"><bounds minlat="0" minlon="0" maxlat="1" maxlon="1"/></osm>'
+    )
+    assert (n, w, r) == ([], [], [])
