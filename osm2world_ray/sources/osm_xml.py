@@ -58,6 +58,20 @@ def parse_osm_xml(text: str):
     return nodes, ways, relations
 
 
+def parse_osm_bounds(text: str):
+    """-> (minlat, minlon, maxlat, maxlon) from the first <bounds>
+    element, or None (the fileBoundary input of coastline assembly,
+    OSMToMapDataConverter.java:66)."""
+    root = ET.fromstring(text)
+    b = root.find("bounds")
+    if b is None:
+        return None
+    return (
+        float(b.get("minlat")), float(b.get("minlon")),
+        float(b.get("maxlat")), float(b.get("maxlon")),
+    )
+
+
 def write_synth_xml_shards(doc_ids: np.ndarray, out_dir: str,
                            docs_per_shard: int = 256) -> list[str]:
     """Same synthetic entity model as the JSON shards, as .osm XML.

@@ -62,7 +62,8 @@ def _is_right_of(p, l1, l2) -> bool:
 def assemble_coastlines(coastlines: list[list[tuple[float, float]]],
                         bbox: tuple[float, float, float, float],
                         entity_tags: list[tuple[str, str]],
-                        *, is_at_sea: bool = False):
+                        *, is_at_sea: bool = False,
+                        with_polygons: bool = False):
     """-> list of (hole_count, area) sea polygons. ``bbox`` is
     (minx, miny, maxx, maxy) with x=lon, y=lat."""
     minx, miny, maxx, maxy = bbox
@@ -170,6 +171,17 @@ def assemble_coastlines(coastlines: list[list[tuple[float, float]]],
         return []
     # coords for group_rings expect (lat, lon) tuples like stages/rings
     latlon = {n: (y, x) for n, (x, y) in coords.items()}
+    if with_polygons:
+        out = []
+        for hc, _nn, area, outer_r, hole_rs in group_rings(
+            rings, latlon, with_rings=True
+        ):
+            out.append((
+                hc, area,
+                [coords[n] for n in outer_r[:-1]],
+                [[coords[n] for n in h[:-1]] for h in hole_rs],
+            ))
+        return out
     return [(hc, area) for hc, _nn, area in group_rings(rings, latlon)]
 
 

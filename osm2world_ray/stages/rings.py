@@ -213,7 +213,8 @@ def assemble_relation(doc: int, members: list[tuple[str, list[int]]],
     return [(hc, nn, area, 1) for hc, nn, area in group_rings(rings, coords)]
 
 
-def group_rings(rings: list[list[int]], coords: dict[int, tuple[float, float]]):
+def group_rings(rings: list[list[int]], coords: dict[int, tuple[float, float]],
+                *, with_rings: bool = False):
     """buildPolygonsFromRings (:258-334): repeatedly take an outer ring
     (not contained in any other), collect its direct inners, emit
     (hole_count, outer_nodes, area). Shared with coastline assembly
@@ -245,7 +246,11 @@ def group_rings(rings: list[list[int]], coords: dict[int, tuple[float, float]]):
             )
         ]
         area = polys[outer_i][0] - sum(polys[r][0] for r in inners)
-        out.append((len(inners), len(rings[outer_i]) - 1, area))
+        if with_rings:
+            out.append((len(inners), len(rings[outer_i]) - 1, area,
+                        rings[outer_i], [rings[r] for r in inners]))
+        else:
+            out.append((len(inners), len(rings[outer_i]) - 1, area))
         live = [r for r in live if r != outer_i and r not in inners]
     return out
 
