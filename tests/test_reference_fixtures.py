@@ -135,3 +135,62 @@ def test_same_coord_nodes_fixture():
     nodes, _w, _r, _c, _wm, _wt, _b = _load("sameCoordNodes.osm")
     assert len(nodes) == 2
     assert nodes[0][1:3] == nodes[1][1:3]
+
+
+def test_huge_areas_fixture_clipping():
+    """OSMToMapDataConverterTest.testHugeArea (:222-245): areas much
+    larger than the file boundary are clipped to the padded boundary
+    (shrinkHugeAreas, OSMToMapDataConverter.java:78-156); small areas
+    stay; original nodes inside the window survive the clip."""
+    from osm2world_ray.geo.clip import clip_ring_to_rect
+
+    nodes, ways, _r, coords, way_map, _wt, bounds = _load("huge_areas.osm")
+    minlat, minlon, maxlat, maxlon = bounds
+    b_area = (maxlat - minlat) * (maxlon - minlon)
+    pad = 1.0 / 111320.0  # the reference's 1 m pad, in degrees
+    node_tags = {nid: t for nid, _la, _lo, t in nodes}
+
+    clipped = {}
+    for wid, nids, _t in ways:
+        ring = np.array([(coords[n][1], coords[n][0]) for n in nids[:-1]])  # (lon, lat)
+        x, y = ring[:, 0] - ring[0, 0], ring[:, 1] - ring[0, 1]
+        raw = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        if raw > 5.0 * b_area:
+            out = clip_ring_to_rect(
+                ring, minlon - pad, minlat - pad, maxlon + pad, maxlat + pad
+            )
+            x, y = out[:, 0] - out[0, 0], out[:, 1] - out[0, 1]
+            area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+            clipped[wid] = (area, out, True)
+        else:
+            clipped[wid] = (raw, ring, False)
+
+    a1, a2, a3 = clipped[-111], clipped[-222], clipped[-333]
+    assert a1[2] and a2[2] and not a3[2]  # -111/-222 clipped, -333 kept
+    assert a1[0] < 10 * b_area
+    assert a2[0] < 10 * b_area
+    assert a3[0] < b_area  # small area untouched
+    # the tagged original nodes inside the window survive in -222's ring
+    existing = [
+        (lo, la)
+        for nid, la, lo, t in nodes
+        if t.get("note") in ("existing1", "existing2")
+    ]
+    assert len(existing) == 2
+    ring_pts = {(round(p[0], 12), round(p[1], 12)) for p in a2[1]}
+    for p in existing:
+        assert (round(p[0], 12), round(p[1], 12)) in ring_pts
+
+
+def test_self_intersection_fixture_does_not_crash():
+    """OSMToMapDataConverterTest.testSelfIntersection (:209-218): a
+    self-intersecting polygon must be readable and processable without
+    crashing (filtering is acceptable)."""
+    from osm2world_ray.geo.triangulate import earcut, triangle_areas
+
+    nodes, ways, relations, coords, way_map, _wt, _b = _load("self_intersection.osm")
+    assert ways
+    for wid, nids, _t in ways:
+        ring = np.array([(coords[n][1], coords[n][0]) for n in nids[:-1]])
+        tris = earcut(ring)  # degenerate input: must terminate
+        triangle_areas(ring, tris)
