@@ -4096,6 +4096,70 @@ def q_read_osm_xml(sf_dir: str):
     return read_osm_xml(paths)
 
 
+# ---------------------------------------------------------------------------
+# real SRTM .hgt raster source (SRTMTile.java + SRTMData.getSites)
+# ---------------------------------------------------------------------------
+
+#: (qid, min_lon, min_lat, max_lon, max_lat) query windows: one inside
+#: the raw tile, one spanning the raw and the ZIPPED tile
+_SRTM_QUERIES = [
+    (0, -9.95, 40.05, -9.9, 40.1),
+    (1, -9.05, 40.05, -8.95, 40.1),
+]
+
+
+def _srtm_oracle() -> str:
+    import math
+
+    parts = []
+    for qid, mnx, mny, mxx, mxy in _SRTM_QUERIES:
+        for tlon in range(int(math.floor(mnx)), int(math.ceil(mxx))):
+            x0 = max(0, int(math.ceil(1201 * (mnx - tlon))))
+            x1 = min(1200, int(math.floor(1201 * (mxx - tlon))))
+            y0 = max(0, int(math.ceil(1201 * (mny - 40))))
+            y1 = min(1200, int(math.floor(1201 * (mxy - 40))))
+            if x1 <= x0 or y1 <= y0:
+                continue
+            parts.append(f"""
+            SELECT {qid} AS qid,
+                   CAST(floor((40 + (y + 0.5)/1201) * 1000000 + 0.5) AS BIGINT)
+                     AS lat_udeg,
+                   CAST(floor(({tlon} + (x + 0.5)/1201) * 1000000 + 0.5) AS BIGINT)
+                     AS lon_udeg,
+                   (x * 73856093 + y * 19349663) % 4000 AS ele
+            FROM (SELECT unnest(range({x0}, {x1})) AS x),
+                 (SELECT unnest(range({y0}, {y1})) AS y)
+            WHERE (x + y) % 97 <> 0""")
+    return " UNION ALL ".join(parts)
+
+
+@register("srtm_read", _srtm_oracle())
+def q_srtm_read(sf_dir: str):
+    """Real SRTM .hgt tile reading: big-endian int16 grids (raw file
+    AND first-zip-entry payload), (1200-y)-row addressing, exclusive
+    upper pixel bounds, blank-value skipping, lazy per-actor tile cache
+    (SRTMTile.java:20-108, SRTMData.java:38-175). Tiles are synthesized
+    once in /tmp with a closed-form pixel field the oracle replays."""
+    import ray.data as rd
+
+    from ..stages.srtm import SrtmSites, write_synth_tiles
+
+    tile_dir = write_synth_tiles("/tmp/o2w_srtm_tiles")
+    items = [
+        {"qid": q, "min_lon": a, "min_lat": b, "max_lon": c, "max_lat": d}
+        for q, a, b, c, d in _SRTM_QUERIES
+    ]
+    ds = rd.from_items(items)
+    return ds.map_batches(
+        SrtmSites,
+        fn_constructor_kwargs={"tile_dir": tile_dir},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -194,3 +194,34 @@ def test_self_intersection_fixture_does_not_crash():
         ring = np.array([(coords[n][1], coords[n][0]) for n in nids[:-1]])
         tris = earcut(ring)  # degenerate input: must terminate
         triangle_areas(ring, tris)
+
+
+def test_srtm_fixture_get_sites():
+    """SRTMDataTest.testGetSites (:24-38): both fixture bounds yield
+    non-empty site sets — (4.1,33.1)-(4.2,33.2) from the raw
+    N04E033.hgt, (4.1,34.1)-(4.2,34.2) from the ZIPPED
+    N04E034.SRTMGL3.hgt.zip."""
+    from osm2world_ray.stages.srtm import BLANK_VALUE, SrtmTileSet, sites_for_bbox
+
+    tiles = SrtmTileSet(os.path.join(FIXTURES, "srtm"))
+    for bbox in [(33.1, 4.1, 33.2, 4.2), (34.1, 4.1, 34.2, 4.2)]:
+        lat, lon, ele = sites_for_bbox(tiles, *bbox)
+        assert len(ele) > 0
+        assert np.all(ele != BLANK_VALUE)
+        assert np.all((lat >= 4.0) & (lat <= 4.3))
+        assert np.all((lon >= bbox[0] - 0.1) & (lon <= bbox[2] + 0.1))
+        # plausible terrain values for the Sudan/South-Sudan border area
+        assert 0 < ele.mean() < 2000
+
+
+def test_srtm_zip_and_raw_layout_agree():
+    """The zip path decodes the same way as the raw path (first
+    non-directory entry, SRTMTile.java:42-77)."""
+    from osm2world_ray.stages.srtm import PIXELS, SrtmTileSet
+
+    tiles = SrtmTileSet(os.path.join(FIXTURES, "srtm"))
+    raw = tiles.tile(33, 4)
+    zipped = tiles.tile(34, 4)
+    assert raw is not None and raw.shape == (PIXELS, PIXELS)
+    assert zipped is not None and zipped.shape == (PIXELS, PIXELS)
+    assert tiles.tile(35, 4) is None  # missing tile -> None, no crash
