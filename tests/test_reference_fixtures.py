@@ -225,3 +225,31 @@ def test_srtm_zip_and_raw_layout_agree():
     assert raw is not None and raw.shape == (PIXELS, PIXELS)
     assert zipped is not None and zipped.shape == (PIXELS, PIXELS)
     assert tiles.tile(35, 4) is None  # missing tile -> None, no crash
+
+
+def test_pbf_fixture_cross_format_parity():
+    """simpleTest01.osm.pbf (the OSMFileReader PBF path) decodes
+    entity-for-entity identically to simpleTest01.osm: same ids, tags,
+    way refs and relation members; coordinates within the PBF's 1e-7
+    nanodegree-x-granularity quantization."""
+    from osm2world_ray.sources.osm_pbf import parse_osm_pbf
+
+    pn, pw, pr = parse_osm_pbf(
+        open(os.path.join(FIXTURES, "simpleTest01.osm.pbf"), "rb").read()
+    )
+    xn, xw, xr, _c, _wm, _wt, _b = (*_load("simpleTest01.osm")[:3],
+                                    None, None, None, None)
+    assert {n[0] for n in pn} == {n[0] for n in xn}
+    xn_d = {n[0]: n for n in xn}
+    for nid, lat, lon, tags in pn:
+        assert abs(lat - xn_d[nid][1]) < 1e-7
+        assert abs(lon - xn_d[nid][2]) < 1e-7
+        assert tags == xn_d[nid][3]
+    xw_d = {w[0]: w for w in xw}
+    assert len(pw) == len(xw)
+    for wid, refs, tags in pw:
+        assert refs == xw_d[wid][1] and tags == xw_d[wid][2]
+    xr_d = {r[0]: r for r in xr}
+    assert len(pr) == len(xr)
+    for rid, members, tags in pr:
+        assert members == xr_d[rid][1] and tags == xr_d[rid][2]
