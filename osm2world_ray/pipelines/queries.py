@@ -4160,6 +4160,45 @@ def q_srtm_read(sf_dir: str):
     )
 
 
+@register(
+    "read_osm_pbf",
+    f"""
+    WITH {synth.MENTIONS_SQL},
+    node_agg AS (
+      SELECT doc_id, count(*) AS n_nodes,
+             CAST(sum(CAST(floor(
+               0.000000001 * (0 + 100 * CAST(floor(lat * 10000000 + 0.5) AS BIGINT))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_lat_udeg
+      FROM mentions GROUP BY 1
+    )
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           n_nodes,
+           n_nodes AS n_way_refs,
+           CASE WHEN doc_id % 33 = 0 THEN 4
+                WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END AS n_members,
+           sum_lat_udeg
+    FROM node_agg
+    """,
+)
+def q_read_osm_pbf(sf_dir: str):
+    """OSM PBF source (hand-rolled wire format, no protobuf dep):
+    synthesized shards alternate zlib/raw blobs; the oracle replays the
+    granularity-100 nanodegree quantization (lat -> floor(lat*1e7+0.5)
+    -> 1e-9*(100*raw)) so the summary matches bit-exactly."""
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from ..sources.osm_pbf import read_osm_pbf_ds, write_synth_pbf_shards
+
+    doc_ids = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    out_dir = tempfile.mkdtemp(prefix="o2w_pbf_", dir="/tmp")
+    paths = write_synth_pbf_shards(doc_ids, out_dir)
+    return read_osm_pbf_ds(paths)
+
+
 def all_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

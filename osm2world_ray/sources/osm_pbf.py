@@ -209,3 +209,207 @@ def _parse_primitive_block(buf: bytes, nodes, ways, relations):
                     for t, m, r in zip(mtypes, mids, roles)
                 ]
                 relations.append((rid, members, tags))
+
+
+# -- minimal writer (synthesizes driver-contract test input) -----------
+
+def _enc_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _enc_field(field: int, wt: int, payload) -> bytes:
+    tag = _enc_varint(field << 3 | wt)
+    if wt == 0:
+        return tag + _enc_varint(payload)
+    return tag + _enc_varint(len(payload)) + payload
+
+
+def _enc_packed(vals) -> bytes:
+    return b"".join(_enc_varint(v) for v in vals)
+
+
+def _enc_delta_sint(vals) -> bytes:
+    out = bytearray()
+    prev = 0
+    for v in vals:
+        out += _enc_varint(_enc_zigzag(v - prev))
+        prev = v
+    return bytes(out)
+
+
+def quantize(deg: float) -> int:
+    """nanodegree/granularity-100 raw value (floor + 0.5 rounding)."""
+    import math
+
+    return int(math.floor(deg * 1e7 + 0.5))
+
+
+def write_osm_pbf(path: str, nodes, ways, relations, *, compress: bool = True):
+    """Write one OSMData blob with DenseNodes + ways + relations.
+    Entities use the reader's tuple shapes; coordinates quantize to
+    granularity-100 nanodegrees."""
+    strings = [""]
+    index: dict[str, int] = {"": 0}
+
+    def sid(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    dense = bytearray()
+    kv = []
+    for _nid, _la, _lo, tags in nodes:
+        for k, v in tags.items():
+            kv += [sid(k), sid(v)]
+        kv.append(0)
+    dense += _enc_field(1, 2, _enc_delta_sint([n[0] for n in nodes]))
+    dense += _enc_field(8, 2, _enc_delta_sint([quantize(n[1]) for n in nodes]))
+    dense += _enc_field(9, 2, _enc_delta_sint([quantize(n[2]) for n in nodes]))
+    dense += _enc_field(10, 2, _enc_packed(kv))
+    group = bytearray(_enc_field(2, 2, bytes(dense)))
+    for wid, refs, tags in ways:
+        w = bytearray(_enc_field(1, 0, wid))
+        w += _enc_field(2, 2, _enc_packed([sid(k) for k in tags]))
+        w += _enc_field(3, 2, _enc_packed([sid(v) for v in tags.values()]))
+        w += _enc_field(8, 2, _enc_delta_sint(refs))
+        group += _enc_field(3, 2, bytes(w))
+    tcode = {"node": 0, "way": 1, "relation": 2}
+    for rid, members, tags in relations:
+        r = bytearray(_enc_field(1, 0, rid))
+        r += _enc_field(2, 2, _enc_packed([sid(k) for k in tags]))
+        r += _enc_field(3, 2, _enc_packed([sid(v) for v in tags.values()]))
+        r += _enc_field(8, 2, _enc_packed([sid(m[2]) for m in members]))
+        r += _enc_field(9, 2, _enc_delta_sint([m[1] for m in members]))
+        r += _enc_field(10, 2, _enc_packed([tcode[m[0]] for m in members]))
+        group += _enc_field(4, 2, bytes(r))
+    st = b"".join(
+        _enc_field(1, 2, s.encode("utf-8")) for s in strings
+    )
+    block = (
+        _enc_field(1, 2, st)
+        + _enc_field(2, 2, bytes(group))
+        + _enc_field(17, 0, 100)
+    )
+    if compress:
+        blob = _enc_field(2, 0, len(block)) + _enc_field(3, 2, zlib.compress(block))
+    else:
+        blob = _enc_field(1, 2, block)
+    header = _enc_field(1, 2, b"OSMData") + _enc_field(3, 0, len(blob))
+    with open(path, "wb") as f:
+        f.write(len(header).to_bytes(4, "big"))
+        f.write(header)
+        f.write(blob)
+
+
+# -- driver-contract synthetic shards + Ray source ---------------------
+
+def write_synth_pbf_shards(doc_ids, out_dir: str,
+                           docs_per_shard: int = 256) -> list[str]:
+    """Same synthetic entity model as the XML/JSON shards; alternating
+    shards use zlib vs raw blobs (both reader paths)."""
+    import os
+
+    import numpy as np
+
+    from . import synth
+
+    os.makedirs(out_dir, exist_ok=True)
+    doc_ids = np.sort(np.asarray(doc_ids, dtype=np.int64))
+    paths = []
+    for s, start in enumerate(range(0, len(doc_ids), docs_per_shard)):
+        chunk = doc_ids[start:start + docs_per_shard]
+        nodes, ways, relations = [], [], []
+        for d in chunk:
+            n = int(d % 3) + 1
+            j = np.arange(n, dtype=np.int64)
+            lat, lon = synth.mention_latlon(np.full(n, d), j)
+            for k in range(n):
+                nodes.append(
+                    (int(d) * 4 + k, float(lat[k]), float(lon[k]),
+                     {"source": "synth"})
+                )
+            ways.append(
+                (int(d), [int(d) * 4 + k for k in range(n)],
+                 {"highway": "path"})
+            )
+            if d % 11 == 0:
+                members = [
+                    ("node", int(d) * 4, "admin_centre"),
+                    ("way", int(d), "outer"),
+                    ("relation", int(d) - 11, "subarea"),
+                ]
+                if d % 33 == 0:
+                    members.append(("node", int(d) * 4 + 9, "label"))
+                relations.append((int(d), members, {"type": "multipolygon"}))
+        p = os.path.join(out_dir, f"shard-{s:04d}.osm.pbf")
+        write_osm_pbf(p, nodes, ways, relations, compress=(s % 2 == 0))
+        paths.append(p)
+    return paths
+
+
+class OsmPbfParse:
+    """Actor-pool stage: binary shard rows -> per-doc summary rows
+    (same schema as the XML/JSON readers; lats are the PBF-quantized
+    values)."""
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+
+        from . import synth
+
+        urls, nn, nw, nm, sl = [], [], [], [], []
+        for buf in batch["bytes"].to_pylist():
+            nodes, ways, relations = parse_osm_pbf(bytes(buf))
+            per_doc: dict[int, list[int]] = {}
+            for nid, lat, _lon, _t in nodes:
+                d = nid // 4
+                rec = per_doc.setdefault(d, [0, 0, 0, 0])
+                rec[0] += 1
+                rec[3] += int(np.floor(lat * 1e6 + 0.5))
+            for wid, nids, _t in ways:
+                per_doc.setdefault(wid, [0, 0, 0, 0])[1] += len(nids)
+            for rid, members, _t in relations:
+                per_doc.setdefault(rid, [0, 0, 0, 0])[2] += len(members)
+            for d in sorted(per_doc):
+                rec = per_doc[d]
+                urls.append(f"{synth.URL_PREFIX}{d}")
+                nn.append(rec[0])
+                nw.append(rec[1])
+                nm.append(rec[2])
+                sl.append(rec[3])
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "n_nodes": pa.array(nn, type=pa.int64()),
+                "n_way_refs": pa.array(nw, type=pa.int64()),
+                "n_members": pa.array(nm, type=pa.int64()),
+                "sum_lat_udeg": pa.array(sl, type=pa.int64()),
+            }
+        )
+
+
+def read_osm_pbf_ds(paths: list[str]):
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+    return ds.map_batches(
+        OsmPbfParse,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
