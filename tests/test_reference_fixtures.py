@@ -253,3 +253,29 @@ def test_pbf_fixture_cross_format_parity():
     assert len(pr) == len(xr)
     for rid, members, tags in pr:
         assert members == xr_d[rid][1] and tags == xr_d[rid][2]
+
+
+def test_mbtiles_metadata_fixture():
+    """MapMetadataMbtilesUtilTest (:17-24): tile (13, 4401, 2827) in
+    meta.mbtiles carries MapMetadata(locale="DE", land=true); child
+    tiles fall back to the parent's metadata."""
+    from osm2world_ray.sources.mbtiles import MbtilesMetadata
+
+    db = MbtilesMetadata(os.path.join(FIXTURES, "meta.mbtiles"))
+    try:
+        assert db.metadata_for_tile(13, 4401, 2827) == ("DE", True)
+        # z14 children have no own entry -> parent fallback
+        assert db.metadata_for_tile(14, 8802, 5654) == ("DE", True)
+        assert db.metadata_for_tile(14, 8803, 5655) == ("DE", True)
+    finally:
+        db.close()
+
+
+def test_metadata_only_locale_json_fixture():
+    """metadata_only_locale.json: partial metadata parses with the
+    missing field as None (MapMetadata.metadataFromJson)."""
+    import json
+
+    doc = json.load(open(os.path.join(FIXTURES, "metadata_only_locale.json")))
+    assert doc.get("locale") is not None
+    assert doc.get("land") is None
