@@ -33,6 +33,8 @@ def parse_osm_xml(text: str):
         raise ValueError(f"Unsupported OSM XML version: {root.get('version')}")
     nodes, ways, relations = [], [], []
     for e in root:
+        if e.get("action") == "delete":
+            continue  # JOSM edit files: deleted elements are excluded
         tags = {t.get("k"): t.get("v") for t in e.findall("tag")}
         if e.tag == "node":
             nodes.append(

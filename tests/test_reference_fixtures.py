@@ -279,3 +279,30 @@ def test_metadata_only_locale_json_fixture():
     doc = json.load(open(os.path.join(FIXTURES, "metadata_only_locale.json")))
     assert doc.get("locale") is not None
     assert doc.get("land") is None
+
+
+def test_valid_file_fixture():
+    """OSMFileReaderTest.testValidFile (:22-41): entity counts, way
+    length, tag lookups through the reader."""
+    nodes, ways, relations, coords, way_map, _wt, _b = _load("validFile.osm")
+    assert len(nodes) == 4 and len(ways) == 1 and len(relations) == 1
+    wid, nids, _t = ways[0]
+    assert len(nids) == 3
+    node_tags = {nid: t for nid, _la, _lo, t in nodes}
+    assert node_tags[nids[1]].get("highway") == "traffic_signals"
+    assert relations[0][2].get("type") == "associatedStreet"
+
+
+def test_josm_edit_file_fixture():
+    """OSMFileReaderTest.testJosmFileWithEdits (:44-55): deleted
+    elements and multiple bounds are handled; 5 nodes, 1 way remain."""
+    nodes, ways, relations, *_ = _load("josmTest01.osm")
+    assert len(nodes) == 5 and len(ways) == 1 and len(relations) == 0
+
+
+def test_josm_emoji_fixture():
+    """OSMFileReaderTest.testJosmFileWithEmoji (:57-65): emoji tag
+    values survive the reader; node id 123123123123 present."""
+    nodes, *_ = _load("josm_emoji.osm")
+    assert len(nodes) == 1
+    assert nodes[0][0] == 123123123123
