@@ -306,3 +306,13 @@ def test_josm_emoji_fixture():
     nodes, *_ = _load("josm_emoji.osm")
     assert len(nodes) == 1
     assert nodes[0][0] == 123123123123
+
+
+def test_two_outer_multipolygon_fixture():
+    """mp_two_outer_roof.osm (BuildingModuleTest input): a relation
+    with TWO outer rings and three inners assembles into two areas
+    whose hole counts sum to 3."""
+    areas = _mp_areas("mp_two_outer_roof.osm")
+    assert len(areas) == 2
+    assert sum(a[0] for a in areas) == 3
+    assert all(a[2] > 0 for a in areas)
