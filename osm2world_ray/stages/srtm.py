@@ -139,12 +139,17 @@ class SrtmSites:
             out_lat.append(np.floor(lat * 1e6 + 0.5).astype(np.int64))
             out_lon.append(np.floor(lon * 1e6 + 0.5).astype(np.int64))
             out_ele.append(ele)
+        def cat(parts):
+            return pa.array(
+                np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            )
+
         return pa.table(
             {
-                "qid": pa.array(np.concatenate(out_q) if out_q else []),
-                "lat_udeg": pa.array(np.concatenate(out_lat) if out_lat else []),
-                "lon_udeg": pa.array(np.concatenate(out_lon) if out_lon else []),
-                "ele": pa.array(np.concatenate(out_ele) if out_ele else []),
+                "qid": cat(out_q),
+                "lat_udeg": cat(out_lat),
+                "lon_udeg": cat(out_lon),
+                "ele": cat(out_ele),
             }
         )
 
