@@ -80,12 +80,22 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # round-1-comparable subtotal: the original 8-pipeline suite
+    # (BENCH_r01 measured exactly these; round 2 added 3 more queries
+    # including the heaviest new operator, so the grand total is not
+    # comparable across rounds but core8_sec is)
+    core8 = [
+        "flagship", "extract_text", "tile_rollup_z13", "pip_join_contain",
+        "knn_nearest", "overlap_pairs", "segment_intersections", "clip_to_cell",
+    ]
+    core8_sec = round(sum(timings[q] for q in core8 if q in timings), 3)
     docs = _doc_count(sf_dir)
     n_queries = len(timings)
     out = {
         "metric": "spatial-join + tile-assignment pipeline suite wall-time",
         "value": total,
         "unit": "sec",
+        "core8_sec": core8_sec,
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
