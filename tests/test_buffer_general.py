@@ -46,3 +46,14 @@ def test_shrink_keeps_convex_exact_path():
     r = buffer_polygon_mitre(sq, -0.1)
     assert len(r) == 1
     assert abs(r[0][2] - 0.64) < 1e-12
+
+
+def test_shrink_concave_is_an_explicit_limitation():
+    """Negative distances route through the exact convex kernel; a
+    concave ring raises rather than silently mis-buffering (erosion of
+    concave polygons is JTS territory, documented out of scope)."""
+    import pytest
+
+    L = np.array([[0, 0], [0.6, 0], [0.6, 0.2], [0.3, 0.2], [0.3, 0.4], [0, 0.4]])
+    with pytest.raises(ValueError):
+        buffer_polygon_mitre(L, -0.05)

@@ -159,3 +159,14 @@ def test_zero_interpolator_stage():
 def test_empty_sites_raises():
     with pytest.raises(ValueError):
         Delaunay(np.array([]), np.array([]), np.array([]))
+
+
+def test_duplicate_sites_are_skipped_not_corrupting():
+    """Duplicate site coordinates hit the degenerate-cavity guard and
+    are skipped; the mesh stays valid and probes still work."""
+    x = np.array([0.0, 1.0, 0.0, 1.0, 0.5, 0.5])  # one duplicate point
+    y = np.array([0.0, 0.0, 1.0, 1.0, 0.5, 0.5])
+    z = 1.0 + x + y
+    dt = Delaunay(x, y, z, pad=1.0)
+    v = dt.interpolate_linear(np.array([0.25]), np.array([0.25]))
+    assert abs(v[0] - 1.5) < 1e-9
