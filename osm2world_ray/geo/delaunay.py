@@ -71,6 +71,10 @@ class Delaunay:
         self._next_tid = 2
         self._last_tid = 0
         self._arrays = None
+        #: sites dropped by degenerate-cavity skips (duplicates, on-edge
+        #: hits); exposed so silent data loss is observable on regular
+        #: lattices (e.g. raw SRTM grids)
+        self.skipped_sites = 0
         for i in range(len(x)):
             self._insert(float(x[i]), float(y[i]), float(z[i]))
 
@@ -177,6 +181,7 @@ class Delaunay:
         if len(ring) < 3 or ring[-1][1] != ring[0][0]:
             # degenerate chain (duplicate site / exact-boundary case):
             # skip the site rather than corrupt the mesh
+            self.skipped_sites += 1
             return
         pidx = len(self.vx)
         self.vx.append(px)

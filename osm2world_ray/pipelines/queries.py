@@ -3207,6 +3207,9 @@ def _wa_oracle() -> str:
       UNION ALL SELECT '{synth.URL_PREFIX}' || doc_id, 6,
                        0.0, 45.0, 1.0, 46.0
       FROM documents WHERE doc_id % 39 = 0
+      UNION ALL SELECT '{synth.URL_PREFIX}' || doc_id, 7,
+                       0.0, 45.0, 6.0, 47.0
+      FROM documents WHERE doc_id % 41 = 0
     ),
     edges AS (SELECT * FROM (VALUES {B.edges_sql_values()})
               e(boundary_id, ex1, ey1, ex2, ey2)),
@@ -3222,7 +3225,10 @@ def _wa_oracle() -> str:
         ON (s.x1 = c.cx AND s.y1 = c.cy) OR (s.x2 = c.cx AND s.y2 = c.cy)
     ),
     tu AS (
+      -- getTrueLineSegmentIntersection: parallel excluded, pairs that
+      -- share an exact endpoint excluded (GeometryUtil.java:267-278)
       SELECT s.url, s.seg_idx, e.boundary_id, s.x1 AS p1x, s.y1 AS p1y,
+             s.x2 AS p2x, s.y2 AS p2y,
              (s.x2 - s.x1) AS rx, (s.y2 - s.y1) AS ry,
              ((e.ex1 - s.x1)*(e.ey2 - e.ey1) - (e.ey1 - s.y1)*(e.ex2 - e.ex1))
                / ((s.x2 - s.x1)*(e.ey2 - e.ey1) - (s.y2 - s.y1)*(e.ex2 - e.ex1)) AS t,
@@ -3230,26 +3236,41 @@ def _wa_oracle() -> str:
                / ((s.x2 - s.x1)*(e.ey2 - e.ey1) - (s.y2 - s.y1)*(e.ex2 - e.ex1)) AS u
       FROM segs2 s JOIN edges e
         ON ((s.x2 - s.x1)*(e.ey2 - e.ey1) - (s.y2 - s.y1)*(e.ex2 - e.ex1)) <> 0
+       AND NOT ((s.x1 = e.ex1 AND s.y1 = e.ey1) OR (s.x1 = e.ex2 AND s.y1 = e.ey2)
+             OR (s.x2 = e.ex1 AND s.y2 = e.ey1) OR (s.x2 = e.ex2 AND s.y2 = e.ey2))
     ),
     hits AS (
       SELECT url, seg_idx, boundary_id,
-             CAST(floor((p1x + t*rx)*1000000 + 0.5) AS BIGINT) AS ix_udeg,
-             CAST(floor((p1y + t*ry)*1000000 + 0.5) AS BIGINT) AS iy_udeg
-      FROM tu WHERE t > 0 AND t < 1 AND u > 0 AND u < 1
+             p1x + t*rx AS ix, p1y + t*ry AS iy,
+             p1x, p1y, p2x, p2y, rx, ry
+      FROM tu WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1
+    ),
+    flagged AS (
+      -- intersects: unconnected = any true hit; connected = any true
+      -- hit farther than segLen/100 from both segment endpoints
+      SELECT DISTINCT h.url, h.seg_idx, h.boundary_id FROM hits h
+      WHERE NOT EXISTS (SELECT 1 FROM conn c WHERE c.url = h.url
+                        AND c.seg_idx = h.seg_idx AND c.boundary_id = h.boundary_id)
+         OR (sqrt((h.ix-h.p1x)*(h.ix-h.p1x) + (h.iy-h.p1y)*(h.iy-h.p1y))
+               > sqrt(h.rx*h.rx + h.ry*h.ry)/100
+             AND sqrt((h.ix-h.p2x)*(h.ix-h.p2x) + (h.iy-h.p2y)*(h.iy-h.p2y))
+               > sqrt(h.rx*h.rx + h.ry*h.ry)/100)
     )
     SELECT url, seg_idx, boundary_id, 'SHARE_SEGMENT' AS ov_type,
            -1::BIGINT AS ix_udeg, -1::BIGINT AS iy_udeg FROM share
     UNION ALL
-    SELECT h.url, h.seg_idx, h.boundary_id, 'INTERSECT', h.ix_udeg, h.iy_udeg
+    SELECT h.url, h.seg_idx, h.boundary_id, 'INTERSECT',
+           CAST(floor(h.ix*1000000 + 0.5) AS BIGINT),
+           CAST(floor(h.iy*1000000 + 0.5) AS BIGINT)
     FROM hits h
-    WHERE NOT EXISTS (SELECT 1 FROM share x WHERE x.url = h.url
-                      AND x.seg_idx = h.seg_idx AND x.boundary_id = h.boundary_id)
-      AND NOT EXISTS (SELECT 1 FROM conn x WHERE x.url = h.url
+    WHERE EXISTS (SELECT 1 FROM flagged f WHERE f.url = h.url
+                  AND f.seg_idx = h.seg_idx AND f.boundary_id = h.boundary_id)
+      AND NOT EXISTS (SELECT 1 FROM share x WHERE x.url = h.url
                       AND x.seg_idx = h.seg_idx AND x.boundary_id = h.boundary_id)
     UNION ALL
     SELECT p.url, p.seg_idx, p.boundary_id, 'CONTAIN', -1, -1
     FROM ({p1_contains}) p
-    WHERE NOT EXISTS (SELECT 1 FROM hits x WHERE x.url = p.url
+    WHERE NOT EXISTS (SELECT 1 FROM flagged x WHERE x.url = p.url
                       AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
       AND NOT EXISTS (SELECT 1 FROM share x WHERE x.url = p.url
                       AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
@@ -3260,6 +3281,8 @@ def _wa_oracle() -> str:
     FROM ({center_contains}) p
     WHERE EXISTS (SELECT 1 FROM conn x WHERE x.url = p.url
                   AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
+      AND NOT EXISTS (SELECT 1 FROM flagged x WHERE x.url = p.url
+                      AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
       AND NOT EXISTS (SELECT 1 FROM share x WHERE x.url = p.url
                       AND x.seg_idx = p.seg_idx AND x.boundary_id = p.boundary_id)
     """
@@ -3299,6 +3322,12 @@ def q_overlap_wa(sf_dir: str):
         d39 = doc[doc % 39 == 0]
         if len(d39):
             parts.append((d39, 6, 0.0, 45.0, 1.0, 46.0))
+        # connected far-crossing: starts at boundary 2's SW corner and
+        # exits through its east edge -> INTERSECT via the segLen/100
+        # window (the connected branch of the flag)
+        d41 = doc[doc % 41 == 0]
+        if len(d41):
+            parts.append((d41, 7, 0.0, 45.0, 6.0, 47.0))
         if not parts:
             return pa.table(
                 {

@@ -102,6 +102,10 @@ def parse_osm_pbf(data: bytes):
                 payload = v
             elif f == 3:
                 payload = zlib.decompress(v)
+            elif f in (4, 5, 6, 7):
+                # lzma/lz4/zstd/obsolete codecs (fileformat.proto Blob):
+                # fail loudly rather than silently contribute zero entities
+                raise ValueError(f"Unsupported PBF blob codec (field {f})")
         if htype == b"OSMHeader":
             continue
         if htype != b"OSMData":

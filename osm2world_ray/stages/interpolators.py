@@ -151,7 +151,18 @@ class LeastSquaresInterpolate(_ProbeStage):
             [np.ones_like(x), x, y, x * x, x * y, y * y], axis=1
         )  # (batch, 6)
         vals = np.einsum("bkc,bc->bk", c, basis)
-        return (w * vals).sum(axis=1) / w.sum(axis=1)
+        wsum = w.sum(axis=1)
+        # all fitted sites >= r_w away -> zero weight mass; fall back to the
+        # nearest fitted site's polynomial instead of NaN->int64 garbage
+        # (per-row fault-tolerance convention)
+        dead = wsum == 0.0
+        if dead.any():
+            nearest = vals[dead, np.argmin(d[dead], axis=1)]
+            wsum = np.where(dead, 1.0, wsum)
+            out = (w * vals).sum(axis=1) / wsum
+            out[dead] = nearest
+            return out
+        return (w * vals).sum(axis=1) / wsum
 
 
 class ZeroInterpolate(_ProbeStage):

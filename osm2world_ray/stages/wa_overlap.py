@@ -76,25 +76,32 @@ class WAOverlapJoin:
             conn = np.zeros(len(cand), dtype=bool)
             for ccx, ccy in C:
                 conn |= ((cx1 == ccx) & (cy1 == ccy)) | ((cx2 == ccx) & (cy2 == ccy))
-            # per-edge intersections (strict + inclusive variants)
-            strict_any = np.zeros(len(cand), dtype=bool)
+            # per-edge TRUE intersections (getTrueLineSegmentIntersection,
+            # GeometryUtil.java:267-278: inclusive t,u in [0,1], pairs
+            # sharing an exact endpoint excluded, parallel excluded) —
+            # the reference uses this ONE kernel for the unconnected
+            # intersects flag (SimplePolygonShapeXZ.java:95-113), the
+            # connected intersectionPositions (:123-139) AND the emitted
+            # position list (OSMToMapDataConverter.java:592-605)
+            true_any = np.zeros(len(cand), dtype=bool)
             far_any = np.zeros(len(cand), dtype=bool)
             pos_seg, pos_x, pos_y = [], [], []
             seg_len = np.hypot(cx2 - cx1, cy2 - cy1)
             for ex1, ey1, ex2, ey2 in E:
+                sep = (
+                    ((cx1 == ex1) & (cy1 == ey1))
+                    | ((cx1 == ex2) & (cy1 == ey2))
+                    | ((cx2 == ex1) & (cy2 == ey1))
+                    | ((cx2 == ex2) & (cy2 == ey2))
+                )
                 m_in, ixp, iyp = segment_intersection(
                     cx1, cy1, cx2, cy2,
                     np.full_like(cx1, ex1), np.full_like(cx1, ey1),
                     np.full_like(cx1, ex2), np.full_like(cx1, ey2),
                     true_only=False,
                 )
-                m_st, _, _ = segment_intersection(
-                    cx1, cy1, cx2, cy2,
-                    np.full_like(cx1, ex1), np.full_like(cx1, ey1),
-                    np.full_like(cx1, ex2), np.full_like(cx1, ey2),
-                    true_only=True,
-                )
-                strict_any |= m_st
+                m_in &= ~sep
+                true_any |= m_in
                 hit = np.flatnonzero(m_in)
                 if len(hit):
                     d1 = np.hypot(ixp[hit] - cx1[hit], iyp[hit] - cy1[hit])
@@ -105,18 +112,20 @@ class WAOverlapJoin:
                     pos_x.append(ixp[hit])
                     pos_y.append(iyp[hit])
             outer, holes = self.index.polys[bi]
-            # intersects flag per the connectivity split (:545-575)
-            intersects = np.where(conn, far_any, strict_any) & ~share
+            # intersects flag per the connectivity split (:545-575):
+            # unconnected = any true intersection; connected = any true
+            # intersection farther than segLen/100 from both endpoints
+            intersects = np.where(conn, far_any, true_any) & ~share
             emit_share = np.flatnonzero(share)
             rows_i.append(cand[emit_share])
             rows_b.append(np.full(len(emit_share), bi))
             rows_t.append(np.full(len(emit_share), 0, dtype=np.int64))
             rows_px.append(np.full(len(emit_share), -1, dtype=np.int64))
             rows_py.append(np.full(len(emit_share), -1, dtype=np.int64))
-            # INTERSECT: one row per collected position. For unconnected
-            # segments the reference collects per-area-segment
-            # getIntersection results == the inclusive hits; strict and
-            # inclusive coincide for them (no shared nodes).
+            # INTERSECT: one row per collected true-intersection position
+            # (OSMToMapDataConverter.java:592-605 re-collects getIntersection
+            # over ALL area segments once the flag is set — including, for
+            # connected segments, positions inside the segLen/100 window)
             if pos_seg:
                 ps = np.concatenate(pos_seg)
                 px = np.concatenate(pos_x)

@@ -133,6 +133,10 @@ class PartitionWriter:
             if f.startswith("part-") and f.endswith(".parquet"):
                 if int(f[5:-8]) >= n_files:
                     os.remove(os.path.join(pdir, f))
+            elif f.startswith(".tmp-"):
+                # orphan from a killed previous run (ours from this run were
+                # already renamed away by os.replace)
+                os.remove(os.path.join(pdir, f))
         n_urls = int(group["url"].nunique()) if "url" in group else 0
         manifest = {
             "partition": [pz, px, py],

@@ -34,7 +34,17 @@ def test_delaunay_linear_precision_random_sites(seed):
     want = a + b * px + c * py
     ok = ~np.isnan(got)
     assert ok.mean() > 0.9  # hull-interior probes resolve
-    np.testing.assert_allclose(got[ok], want[ok], atol=1e-7)
+    # linear precision only holds where the enclosing triangle uses site
+    # vertices exclusively: triangles touching the 4 padded bbox corners
+    # (ele 0, vertex ids 0-3) blend in the synthetic corner elevation —
+    # the reference behaves identically (DelaunayTriangulation.java:486-495)
+    tri = dt.locate_batch(px, py)
+    tv = dt.finalize()["tv"]
+    site_only = np.full(len(px), False)
+    located = tri >= 0
+    site_only[located] = (tv[tri[located]] >= 4).all(axis=1)
+    check = ok & site_only
+    np.testing.assert_allclose(got[check], want[check], atol=1e-7)
 
 
 @settings(max_examples=25, deadline=None)
