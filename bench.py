@@ -100,7 +100,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "docs": docs,
-        "docs_per_sec": round(docs * n_queries / total, 1),
+        # round-1-comparable headline: BENCH_r01 measured exactly the
+        # core8 queries, so docs * 8 / core8_sec reproduces its
+        # definition; the grown-suite per-pass rate is reported separately
+        "docs_per_sec": round(docs * 8 / core8_sec, 1),
+        "docs_per_sec_suite": round(docs * n_queries / total, 1),
     }
     ray.shutdown()
     return out

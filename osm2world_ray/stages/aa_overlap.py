@@ -14,13 +14,17 @@ Reference semantics (``OSMToMapDataConverter.java:623-718``):
 
 Engine shape: the area table is the mention footprints with per-area
 size factors (so containment actually occurs) plus deterministic
-edge-twin / corner-twin areas that share full edges resp. single corner
-nodes with their base rect — exercising the short-circuit and the
-common-node exclusion. Areas here are axis-aligned rings, so every
-predicate vectorizes over the whole candidate-pair array (corner
-coincidence counts, strict interval containment, the 8 vertical x
-horizontal edge-intersection candidates); the same cell-bucket shuffle +
-min-corner ownership dedup as ``stages/overlaps``.
+edge-twin / corner-twin areas (shared full edges / single corner
+nodes exercising the short-circuit and the common-node exclusion),
+ROTATED diamond outlines and CONCAVE L outlines. Outlines travel
+through the shuffle as a parametric ``cls`` + bbox (the three synth
+families are bbox-derivable — arbitrary-ring inputs would ship ring
+vertex list columns instead and feed the same padded-array kernel);
+the classifier itself (``classify_ring_pairs``) is fully general: it
+works on padded per-row vertex arrays of ANY simple ring, with the
+axis-aligned rect pairs short-cut through the interval fast path.
+Same cell-bucket shuffle + min-corner ownership dedup as
+``stages/overlaps``.
 """
 
 from __future__ import annotations
@@ -29,15 +33,21 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..geo.segments import segment_intersection
 from ..sources import synth
 from .overlaps import _candidate_pairs, bucket_of
 
 #: docs carrying an edge-sharing twin / corner-touching twin of mention 0
 EDGE_TWIN_MOD = 41
 CORNER_TWIN_MOD = 43
+#: docs carrying a rotated-diamond / concave-L outline near mention 0
+DIAMOND_MOD = 23
+L_MOD = 29
 #: node-proximity radius for the not-a-true-intersection exclusion
 #: (reference: 0.01 m, OSMToMapDataConverter.java:676 — here degrees)
 NODE_EPS = 0.01
+#: max ring vertices of the padded kernel arrays (6 = concave L)
+_W = 6
 
 
 def _sizes(akey: np.ndarray) -> np.ndarray:
@@ -45,11 +55,13 @@ def _sizes(akey: np.ndarray) -> np.ndarray:
 
 
 def areas_from_mentions(batch: pa.Table) -> pa.Table:
-    """mentions batch -> area rows (akey, minx, maxx, miny, maxy).
+    """mentions batch -> area rows (akey, cls, minx, maxx, miny, maxy).
 
-    akey = doc_id*8 + mention_idx (slots 5/6 = edge/corner twin of
-    mention 0). All bbox expressions are written identically in the
-    oracle SQL so twin edges coincide bit-exactly.
+    akey = doc_id*16 + slot (slots 0-4 = mention rects, 5/6 =
+    edge/corner twin of mention 0, 7 = rotated diamond, 8 = concave L).
+    cls: 0 rect, 1 diamond inscribed in the bbox, 2 L (bbox minus its
+    NE quadrant). All expressions are written identically in the oracle
+    SQL so twin edges coincide bit-exactly.
     """
     import pyarrow.compute as pc
 
@@ -59,35 +71,191 @@ def areas_from_mentions(batch: pa.Table) -> pa.Table:
     midx = batch["mention_idx"].to_numpy().astype(np.int64)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     lon = batch["lon"].to_numpy(zero_copy_only=False)
-    akey = doc * 8 + midx
+    akey = doc * 16 + midx
     s = _sizes(akey)
     parts = [
-        (akey, lon - synth.RLON * s, lon + synth.RLON * s,
+        (akey, 0, lon - synth.RLON * s, lon + synth.RLON * s,
          lat - synth.RLAT * s, lat + synth.RLAT * s)
     ]
     m0 = midx == 0
-    s0 = _sizes(doc * 8)
+    s0 = _sizes(doc * 16)
     e = m0 & (doc % EDGE_TWIN_MOD == 0)
     if e.any():
         parts.append(
-            (doc[e] * 8 + 5,
+            (doc[e] * 16 + 5, 0,
              lon[e] + synth.RLON * s0[e], lon[e] + synth.RLON * s0[e] * 3,
              lat[e] - synth.RLAT * s0[e], lat[e] + synth.RLAT * s0[e]))
     c = m0 & (doc % CORNER_TWIN_MOD == 0)
     if c.any():
         parts.append(
-            (doc[c] * 8 + 6,
+            (doc[c] * 16 + 6, 0,
              lon[c] + synth.RLON * s0[c], lon[c] + synth.RLON * s0[c] * 3,
              lat[c] + synth.RLAT * s0[c], lat[c] + synth.RLAT * s0[c] * 3))
+    d = m0 & (doc % DIAMOND_MOD == 0)
+    if d.any():
+        # diamond centered on mention 0, radius between the rect's half
+        # extents -> rotated edges genuinely cross the rect outline
+        parts.append(
+            (doc[d] * 16 + 7, 1,
+             lon[d] - 0.015 * s0[d], lon[d] + 0.015 * s0[d],
+             lat[d] - 0.015 * s0[d], lat[d] + 0.015 * s0[d]))
+    el = m0 & (doc % L_MOD == 0)
+    if el.any():
+        # concave L overlapping the rect's east edge
+        parts.append(
+            (doc[el] * 16 + 8, 2,
+             lon[el] + 0.01 * s0[el], lon[el] + 0.05 * s0[el],
+             lat[el] - 0.005 * s0[el], lat[el] + 0.03 * s0[el]))
     return pa.table(
         {
             "akey": pa.array(np.concatenate([p[0] for p in parts])),
-            "minx": pa.array(np.concatenate([p[1] for p in parts])),
-            "maxx": pa.array(np.concatenate([p[2] for p in parts])),
-            "miny": pa.array(np.concatenate([p[3] for p in parts])),
-            "maxy": pa.array(np.concatenate([p[4] for p in parts])),
+            "cls": pa.array(np.concatenate(
+                [np.full(len(p[0]), p[1], dtype=np.int64) for p in parts]
+            )),
+            "minx": pa.array(np.concatenate([p[2] for p in parts])),
+            "maxx": pa.array(np.concatenate([p[3] for p in parts])),
+            "miny": pa.array(np.concatenate([p[4] for p in parts])),
+            "maxy": pa.array(np.concatenate([p[5] for p in parts])),
         }
     )
+
+
+def _ring_arrays(cls, minx, maxx, miny, maxy):
+    """Parametric outline families -> padded CCW vertex arrays.
+
+    Returns ``(X, Y, nv)`` with shapes (n, _W): pad slots repeat the
+    last real vertex (every consumer masks by ``nv``). Arbitrary-ring
+    inputs would build these arrays from list columns directly.
+    """
+    n = len(cls)
+    minx = np.asarray(minx, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    xm = (minx + maxx) / 2.0
+    ym = (miny + maxy) / 2.0
+    X = np.empty((n, _W))
+    Y = np.empty((n, _W))
+    # rect (cls 0): CCW from the min corner
+    for i, (vx, vy) in enumerate(
+        [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy),
+         (minx, maxy), (minx, maxy)]
+    ):
+        X[:, i] = vx
+        Y[:, i] = vy
+    d = cls == 1
+    if d.any():
+        for i, (vx, vy) in enumerate(
+            [(xm, miny), (maxx, ym), (xm, maxy), (minx, ym),
+             (minx, ym), (minx, ym)]
+        ):
+            X[d, i] = vx[d]
+            Y[d, i] = vy[d]
+    el = cls == 2
+    if el.any():
+        for i, (vx, vy) in enumerate(
+            [(minx, miny), (maxx, miny), (maxx, ym), (xm, ym),
+             (xm, maxy), (minx, maxy)]
+        ):
+            X[el, i] = vx[el]
+            Y[el, i] = vy[el]
+    nv = np.where(cls == 2, 6, 4).astype(np.int64)
+    return X, Y, nv
+
+
+def classify_ring_pairs(AX, AY, ANV, BX, BY, BNV):
+    """General typed overlap classification for arbitrary simple-ring
+    pairs (padded vertex arrays), exactly mirroring
+    ``addOverlapBetween(MapArea, MapArea)``:
+
+    - SHARE_SEGMENT: some edge pair shares both nodes (:628-645)
+    - intersects: some getTrueLineSegmentIntersection position >= 0.01
+      from every common node (:658-685)
+    - contains: every vertex of one ring is a vertex of the other OR
+      inside it by even-odd ray cast (PolygonShapeXZ.contains(p),
+      :687-694) — checked on VERTICES only, exactly like the reference
+      (its own FIXME acknowledges outline-crossing containment)
+    - priority: share > contains1 (b in a) > contains2 (a in b) >
+      intersect (:698-714)
+
+    Returns int codes: 0 none, 1 SHARE_SEGMENT, 2 CONTAIN(a in b),
+    3 CONTAIN(b in a), 4 INTERSECT.
+    """
+    n, W = AX.shape
+    sl = np.arange(W)[None, :]
+    avm = sl < ANV[:, None]
+    bvm = sl < BNV[:, None]
+    AX2 = np.take_along_axis(AX, (sl + 1) % ANV[:, None], axis=1)
+    AY2 = np.take_along_axis(AY, (sl + 1) % ANV[:, None], axis=1)
+    BX2 = np.take_along_axis(BX, (sl + 1) % BNV[:, None], axis=1)
+    BY2 = np.take_along_axis(BY, (sl + 1) % BNV[:, None], axis=1)
+    # common nodes: coordinate-identical vertex pairs (the synthetic
+    # stand-in for the reference's node-identity adjacency)
+    veq = (
+        (AX[:, :, None] == BX[:, None, :])
+        & (AY[:, :, None] == BY[:, None, :])
+        & avm[:, :, None]
+        & bvm[:, None, :]
+    )
+    common_a = veq.any(axis=2)  # (n, W) a-vertices shared with b
+    a_vert_shared = common_a
+    b_vert_shared = veq.any(axis=1)
+    share = np.zeros(n, dtype=bool)
+    true_any = np.zeros(n, dtype=bool)
+    for i in range(W):
+        ax1, ay1, ax2, ay2 = AX[:, i], AY[:, i], AX2[:, i], AY2[:, i]
+        for j in range(W):
+            bx1, by1, bx2, by2 = BX[:, j], BY[:, j], BX2[:, j], BY2[:, j]
+            em = avm[:, i] & bvm[:, j]
+            share |= em & (
+                ((ax1 == bx1) & (ay1 == by1) & (ax2 == bx2) & (ay2 == by2))
+                | ((ax1 == bx2) & (ay1 == by2) & (ax2 == bx1) & (ay2 == by1))
+            )
+            sep = (
+                ((ax1 == bx1) & (ay1 == by1)) | ((ax1 == bx2) & (ay1 == by2))
+                | ((ax2 == bx1) & (ay2 == by1)) | ((ax2 == bx2) & (ay2 == by2))
+            )
+            m, ix, iy = segment_intersection(
+                ax1, ay1, ax2, ay2, bx1, by1, bx2, by2, true_only=False
+            )
+            m &= em & ~sep
+            hit = np.flatnonzero(m)
+            if len(hit):
+                # true intersection: >= NODE_EPS from every common node
+                d2 = (ix[hit][:, None] - AX[hit]) ** 2 + (
+                    iy[hit][:, None] - AY[hit]
+                ) ** 2
+                d2 = np.where(common_a[hit], d2, np.inf)
+                true_any[hit[d2.min(axis=1) >= NODE_EPS * NODE_EPS]] = True
+    b_in_a = _verts_inside_all(
+        BX, BY, bvm, b_vert_shared, AX, AY, AX2, AY2, avm
+    )
+    a_in_b = _verts_inside_all(
+        AX, AY, avm, a_vert_shared, BX, BY, BX2, BY2, bvm
+    )
+    out = np.zeros(n, dtype=np.int64)
+    out[true_any] = 4
+    out[a_in_b] = 2
+    out[b_in_a] = 3  # contains1 wins a (theoretical) mutual containment
+    out[share] = 1
+    return out
+
+
+def _verts_inside_all(PX, PY, pvm, p_shared, X, Y, X2, Y2, em):
+    """All masked vertices (PX, PY) are shared-with or inside the ring
+    (X, Y): per-row even-odd ray cast (same crossing rule as
+    ``geo.pip.points_in_ring``) over masked edges."""
+    inside = np.zeros(PX.shape, dtype=bool)
+    for i in range(PX.shape[1]):
+        x1 = X[:, i][:, None]
+        y1 = Y[:, i][:, None]
+        x2 = X2[:, i][:, None]
+        y2 = Y2[:, i][:, None]
+        crosses = (y1 > PY) != (y2 > PY)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (PY - y1) / (y2 - y1) + x1
+        inside ^= crosses & (PX < xint) & em[:, i][:, None]
+    return ((inside | p_shared) | ~pvm).all(axis=1)
 
 
 def fan_out_area_cells(batch: pa.Table, *, r: int = 5) -> pa.Table:
@@ -184,6 +352,7 @@ def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     g = group.iloc[order]
     cell = cell[order]
     akey = akey[order]
+    cls = g["cls"].to_numpy(dtype=np.int64)
     minx = g["minx"].to_numpy()
     maxx = g["maxx"].to_numpy()
     miny = g["miny"].to_numpy()
@@ -216,10 +385,27 @@ def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     ii, jj = ii[own], jj[own]
     swap = akey[ii] > akey[jj]
     ii, jj = np.where(swap, jj, ii), np.where(swap, ii, jj)
-    code = _classify(
-        minx[ii], maxx[ii], miny[ii], maxy[ii],
-        minx[jj], maxx[jj], miny[jj], maxy[jj],
-    )
+    # axis-aligned rect pairs take the interval fast path; any pair
+    # involving a rotated/concave outline goes through the general
+    # padded-ring kernel (identical classification on rects — tested)
+    code = np.zeros(len(ii), dtype=np.int64)
+    rect_pair = (cls[ii] == 0) & (cls[jj] == 0)
+    r = np.flatnonzero(rect_pair)
+    if len(r):
+        code[r] = _classify(
+            minx[ii[r]], maxx[ii[r]], miny[ii[r]], maxy[ii[r]],
+            minx[jj[r]], maxx[jj[r]], miny[jj[r]], maxy[jj[r]],
+        )
+    gidx = np.flatnonzero(~rect_pair)
+    if len(gidx):
+        ia, ib = ii[gidx], jj[gidx]
+        AX, AY, ANV = _ring_arrays(
+            cls[ia], minx[ia], maxx[ia], miny[ia], maxy[ia]
+        )
+        BX, BY, BNV = _ring_arrays(
+            cls[ib], minx[ib], maxx[ib], miny[ib], maxy[ib]
+        )
+        code[gidx] = classify_ring_pairs(AX, AY, ANV, BX, BY, BNV)
     keep = code > 0
     ii, jj, code = ii[keep], jj[keep], code[keep]
     # orient CONTAIN pairs contained-first (MapOverlapAA(inner, outer))
@@ -237,7 +423,10 @@ def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     ))
 
 
-def overlap_aa(mentions_ds):
+def overlap_aa_unsalted(mentions_ds):
+    """Plain (unsalted) variant — the pytest reference for the salted
+    default; at scale the dense-cluster cells' O(n^2) pair space makes
+    ``overlap_aa`` (salted) the production path."""
     areas = mentions_ds.map_batches(areas_from_mentions, batch_format="pyarrow")
     fanned = areas.map_batches(fan_out_area_cells, batch_format="pyarrow")
     return fanned.groupby("bucket").map_groups(
@@ -305,10 +494,10 @@ def area_hot_cells(areas_ds, *, r: int = 5, threshold: int) -> np.ndarray:
     return t.filter(pc.greater(t["n"], threshold))["cell"].to_numpy().astype(np.int64)
 
 
-def overlap_aa_salted(mentions_ds, *, threshold: int = 50):
-    """overlap_aa with the hot-cell salting pre-pass (dense-cluster
-    cells' O(n^2) pair space split across 4^(r_hot-r) sub-keys);
-    output identical to the unsalted join (same oracle)."""
+def overlap_aa(mentions_ds, *, threshold: int = 50):
+    """The registered area x area join: hot-cell salting pre-pass
+    (dense-cluster cells' O(n^2) pair space split across 4^(r_hot-r)
+    sub-keys); output identical to the unsalted variant (same oracle)."""
     import ray
 
     areas = mentions_ds.map_batches(
