@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .ann import _embedding_matrix
+
 K_DEFAULT = 4
 ITERS_DEFAULT = 3
 
@@ -33,9 +35,9 @@ def _assign(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def _batch_embeddings(batch: pa.Table) -> np.ndarray:
-    return np.asarray(
-        batch["embedding"].to_pylist(), dtype=np.float64
-    )
+    # zero-copy Arrow flatten (the per-iteration hot path; the
+    # to_pylist() form cost a Python object per float)
+    return _embedding_matrix(batch)
 
 
 def kmeans_fit(embeddings_ds, *, k: int = K_DEFAULT,

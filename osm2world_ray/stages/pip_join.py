@@ -113,11 +113,15 @@ class TypedOverlapJoin:
             lon - self.rlon, lat - self.rlat, lon + self.rlon, lat + self.rlat
         )
         qc, ec = self.index.contains(lon, lat)
-        contained = set(zip(qc.tolist(), ec.tolist()))
-        types = [
-            "CONTAIN" if (int(a), int(b)) in contained else "INTERSECT"
-            for a, b in zip(qb, eb)
-        ]
+        # packed-key membership instead of a per-pair Python set: the
+        # entity index is bounded by the broadcast boundary table, so
+        # (query_row, entity) packs collision-free into int64
+        n_e = np.int64(len(self.index.ids))
+        contained = np.isin(
+            qb.astype(np.int64) * n_e + eb,
+            qc.astype(np.int64) * n_e + ec,
+        )
+        types = np.where(contained, "CONTAIN", "INTERSECT")
         out = batch.select(["url", "mention_idx"]).take(pa.array(qb))
         return out.append_column(
             "boundary_id", pa.array(self.index.ids[eb])

@@ -29,57 +29,102 @@ _LANG_STOPWORDS = {
 }
 
 
+def _split_tokens(texts: pa.Array, *, whitespace_runs: bool = False):
+    """tokens -> (flat token array, per-row index, per-row count).
+
+    Single-space split (DuckDB ``string_split`` semantics, keeps empty
+    tokens) by default; ``whitespace_runs`` mirrors Python's bare
+    ``str.split()`` (runs of whitespace — empty tokens at the edges are
+    harmless to is_in/equality consumers). Vectorized via Arrow's C++
+    split: no Python touches a token.
+    """
+    import pyarrow.compute as pc
+
+    if whitespace_runs:
+        toks = pc.split_pattern_regex(texts, r"\s+")
+    else:
+        toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    idx = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
+    return toks.flatten(), idx, lengths.astype(np.int64)
+
+
 class QualityScore:
     """documents batch -> integer quality signals per doc:
     n_tokens (single-space split, DuckDB string_split semantics),
     n_chars, stopword_count (en profile), n_words_regex (BPE-ish
-    ``[a-z]+|[0-9]+`` token count; compiled once per actor)."""
+    ``[a-z]+|[0-9]+`` token count). Fully vectorized: Arrow C++
+    split/is_in/count_substring_regex kernels + one bincount — no
+    per-row Python."""
 
     def __init__(self):
-        self.stop = _LANG_STOPWORDS["en"]
-        self.word_re = re.compile(r"[a-z]+|[0-9]+")
+        self.stop = pa.array(sorted(_LANG_STOPWORDS["en"]))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"]
-        toks = texts.str.split(" ")
-        n_tokens = toks.map(len).astype(np.int64)
-        n_chars = texts.str.len().astype(np.int64)
-        stop = self.stop
-        stop_n = toks.map(lambda ws: sum(1 for w in ws if w in stop)).astype(np.int64)
-        wre = self.word_re
-        n_words = texts.map(lambda t: len(wre.findall(t))).astype(np.int64)
+        import pyarrow.compute as pc
+
+        texts = pa.array(batch["text"].to_numpy(), type=pa.string())
+        flat, idx, n_tokens = _split_tokens(texts)
+        hit = pc.is_in(flat, value_set=self.stop).to_numpy(
+            zero_copy_only=False
+        )
+        stop_n = np.bincount(
+            idx[hit], minlength=len(texts)
+        ).astype(np.int64)
+        n_words = pc.count_substring_regex(
+            texts, "[a-z]+|[0-9]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
                 "n_tokens": n_tokens,
-                "n_chars": n_chars,
+                "n_chars": pc.utf8_length(texts)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
                 "stopword_count": stop_n,
                 "n_words_regex": n_words,
             }
         )
 
 
+#: dict order = tie-break priority (first strict max wins, all-zero -> und)
+_LANG_ORDER = list(_LANG_STOPWORDS)
+
+
 class LangId:
-    """documents batch -> heuristic language guess by stopword-profile
-    hit counts (ties -> 'und'); rows-only check (no SQL oracle)."""
+    """documents batch -> heuristic language guess by DISTINCT
+    stopword-profile hits (ties -> 'und'). Vectorized: one Arrow split,
+    then per profile-word presence bincounts (a bounded 40-word loop
+    over vector kernels, never over rows)."""
 
     def __init__(self):
-        self.profiles = {k: v for k, v in _LANG_STOPWORDS.items()}
+        self.profiles = {
+            k: sorted(v) for k, v in _LANG_STOPWORDS.items()
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def guess(text: str) -> str:
-            ws = set(text.lower().split())
-            best, best_n = "und", 0
-            for lang, prof in self.profiles.items():
-                n = len(ws & prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
+        import pyarrow.compute as pc
 
+        texts = pa.array(batch["text"].to_numpy(), type=pa.string())
+        flat, idx, _ = _split_tokens(
+            pc.utf8_lower(texts), whitespace_runs=True
+        )
+        n = len(texts)
+        counts = np.zeros((len(self.profiles), n), dtype=np.int64)
+        for li, lang in enumerate(_LANG_ORDER):
+            for w in self.profiles[lang]:
+                m = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+                # distinct-word hit: presence, not token count
+                counts[li] += np.bincount(idx[m], minlength=n) > 0
+        best = counts.argmax(axis=0)  # first max = dict-order tie-break
+        guess = np.array(_LANG_ORDER, dtype=object)[best]
+        guess[counts.max(axis=0) == 0] = "und"
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
-                "lang_guess": batch["text"].map(guess),
+                "lang_guess": pd.Series(guess, dtype=object),
             }
         )
 
