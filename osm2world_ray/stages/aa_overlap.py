@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from ..geo.segments import segment_intersection
 from ..sources import synth
-from .overlaps import _candidate_pairs, bucket_of
+from .overlaps import _candidate_pairs, _sweep_pair_chunks, bucket_of
 
 #: docs carrying an edge-sharing twin / corner-touching twin of mention 0
 EDGE_TWIN_MOD = 41
@@ -362,10 +362,9 @@ def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     scale_row = np.ldexp(1.0, (cell >> 58).astype(np.int64))
     ii, jj, large = _candidate_pairs(cell)
     for s, e in large:
-        bi, bj = np.meshgrid(np.arange(s, e), np.arange(s, e), indexing="ij")
-        m = bi.ravel() < bj.ravel()
-        ii = np.concatenate([ii, bi.ravel()[m]])
-        jj = np.concatenate([jj, bj.ravel()[m]])
+        for I, J in _sweep_pair_chunks(minx, maxx, s, e):
+            ii = np.concatenate([ii, I])
+            jj = np.concatenate([jj, J])
     if len(ii) == 0:
         return empty
     # candidate filter: touching-or-overlapping bboxes, distinct areas
