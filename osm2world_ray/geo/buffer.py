@@ -6,9 +6,12 @@ mitre-join buffer is exact and closed-form: offset every edge line
 outward by ``distance`` along its normal and re-intersect consecutive
 edge lines — each vertex becomes the mitre corner of its two offset
 edges. Shrinking (negative distance) uses the same construction while
-the result stays simple. Concave rings would need arc/mitre-limit
-handling and self-intersection cleanup (JTS territory) — out of scope,
-guarded by a convexity check.
+the result stays simple. Concave rings route through the arrangement
+machinery: outward growth dissolves the union of offset pieces
+(:func:`buffer_polygon_mitre`), inward shrink keeps the
+positive-winding cells of the noded raw offset curve
+(:func:`shrink_polygon_mitre`) — the same offset-curve method JTS's
+``BufferOp`` uses, restricted to mitre/bevel joins.
 """
 
 from __future__ import annotations
@@ -109,6 +112,9 @@ def buffer_polygon_mitre(ring: np.ndarray, distance: float,
     pts = np.asarray(ring, dtype=np.float64)
     if len(pts) and np.array_equal(pts[0], pts[-1]):
         pts = pts[:-1]
+    if distance < 0 and not is_convex(pts):
+        # concave shrink: raw inward offset curve + winding selection
+        return shrink_polygon_mitre(pts, distance, mitre_limit)
     if distance <= 0 or is_convex(pts):
         # exact closed form: the mitre buffer of a convex ring is the
         # re-intersection of its offset edge lines (no arrangement work)
@@ -163,14 +169,30 @@ def buffer_polygon_mitre(ring: np.ndarray, distance: float,
     segments = []
     for p in pieces:
         segments.extend(ring_segments(np.asarray(p)))
+
+    def keep(px, py):
+        return any(_point_in_loop(px, py, p) for p in pieces)
+
+    return _dissolve_faces(segments, keep)
+
+
+def _dissolve_faces(segments, keep):
+    """Arrangement of ``segments`` -> dissolved region of the faces
+    selected by ``keep(px, py)``: union boundary = undirected edges
+    used by exactly one kept cell, re-walked into outer rings + holes.
+    Returns a list of (outer_ring, hole_rings, area) with CCW outers.
+    """
+    from collections import Counter
+
+    from .faces import (_interior_point, _noded_edges, _point_in_loop,
+                        _signed_area, faces_from_edges)
+
     ccw, _cw = faces_from_edges(_noded_edges(segments))
     kept = []
     for loop in ccw:
         px, py = _interior_point(loop)
-        if any(_point_in_loop(px, py, p) for p in pieces):
+        if keep(px, py):
             kept.append(loop)
-    # union boundary = undirected edges used by exactly one kept cell
-    from collections import Counter
     cnt = Counter()
     for loop in kept:
         for a, b in zip(loop, loop[1:] + loop[:1]):
@@ -183,7 +205,7 @@ def buffer_polygon_mitre(ring: np.ndarray, distance: float,
     covered = []
     for o in outers:
         px, py = _interior_point(o)
-        if any(_point_in_loop(px, py, p) for p in pieces):
+        if keep(px, py):
             covered.append(o)
     result = [{"outer": o, "holes": []} for o in covered]
     for h in holes:
@@ -206,3 +228,117 @@ def buffer_polygon_mitre(ring: np.ndarray, distance: float,
         )
         for r in result
     ]
+
+
+def _winding(qx: float, qy: float, curve) -> int:
+    """Winding number of (qx, qy) around a closed directed polyline
+    given as directed segments (signed horizontal-ray crossings)."""
+    w = 0
+    for (x1, y1), (x2, y2) in curve:
+        cross = (x2 - x1) * (qy - y1) - (y2 - y1) * (qx - x1)
+        if y1 <= qy < y2:
+            if cross > 0:
+                w += 1
+        elif y2 <= qy < y1:
+            if cross < 0:
+                w -= 1
+    return w
+
+
+def shrink_polygon_mitre(ring: np.ndarray, distance: float,
+                         mitre_limit: float = 5.0):
+    """General (possibly CONCAVE) INWARD mitre-join polygon buffer —
+    the negative-distance half of ``JTSBufferUtil.bufferPolygon``
+    (JTS ``BufferOp`` with ``JOIN_MITRE``, ``JTSBufferUtil.java:19-32``)
+    that :func:`buffer_convex_ring` refuses for concave rings.
+
+    Construction (the raw-offset-curve method JTS itself uses): offset
+    every edge inward by ``|distance|`` along its normal; join
+    consecutive offset edges at each vertex through the mitre point
+    (the intersection of the two offset edge lines) when the mitre
+    ratio stays within ``mitre_limit``, else bevel with a direct
+    connection. The resulting closed directed curve may self-intersect
+    — node it through the segment-arrangement machinery (``geo/faces``)
+    and keep the cells whose winding number w.r.t. the directed curve
+    is positive; their dissolved union is the shrunk polygon. A
+    distance past the collapse point yields no positive-winding cells
+    and returns [] (an empty geometry, like JTS) instead of raising.
+
+    Returns a list of (outer_ring, hole_rings, area) with CCW outers —
+    a concave shrink can split one ring into several.
+    """
+    from .faces import ring_segments
+
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("ring needs >= 3 vertices")
+    if _signed_area2(pts) < 0:
+        pts = pts[::-1]  # normalize CCW
+    d = abs(float(distance))
+    if d == 0:
+        return [(
+            [tuple(p) for p in pts], [], abs(_signed_area2(pts)) / 2.0,
+        )]
+    n = len(pts)
+    a = pts
+    b = np.roll(pts, -1, axis=0)
+    ex = b[:, 0] - a[:, 0]
+    ey = b[:, 1] - a[:, 1]
+    length = np.hypot(ex, ey)
+    if (length == 0).any():
+        raise ValueError("degenerate zero-length edge")
+    # inward normal of a CCW edge is (-ey, ex)/len
+    inx = -ey / length
+    iny = ex / length
+    oax = a[:, 0] + d * inx
+    oay = a[:, 1] + d * iny
+    obx = b[:, 0] + d * inx
+    oby = b[:, 1] + d * iny
+    curve: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    for i in range(n):
+        k = (i + 1) % n  # next edge, joined at vertex b_i == a_k
+        curve.append(((oax[i], oay[i]), (obx[i], oby[i])))
+        p_end = (obx[i], oby[i])
+        p_start = (oax[k], oay[k])
+        if p_end == p_start:
+            continue
+        denom = ex[i] * ey[k] - ey[i] * ex[k]
+        if denom != 0:
+            # mitre point: intersection of the two offset edge lines
+            t = (
+                (oax[k] - oax[i]) * ey[k] - (oay[k] - oay[i]) * ex[k]
+            ) / denom
+            mx = oax[i] + t * ex[i]
+            my = oay[i] + t * ey[i]
+            v = b[i]
+            if np.hypot(mx - v[0], my - v[1]) / d <= mitre_limit:
+                curve.append((p_end, (mx, my)))
+                curve.append(((mx, my), p_start))
+                continue
+        curve.append((p_end, p_start))  # parallel or past the limit: bevel
+    segments = [s for s in curve if s[0] != s[1]]
+    # also node against themselves via the arrangement; face selection
+    # by the DIRECTED curve's winding number
+    return _dissolve_faces(
+        segments, lambda px, py: _winding(px, py, segments) > 0
+    )
+
+
+# re-exported for callers that dispatch on sign/convexity
+def buffer_any_ring(ring: np.ndarray, distance: float,
+                    mitre_limit: float = 5.0):
+    """Sign/shape dispatch: exact convex closed form where it applies,
+    arrangement-backed general paths otherwise."""
+    pts = np.asarray(ring, dtype=np.float64)
+    p = pts[:-1] if len(pts) and np.array_equal(pts[0], pts[-1]) else pts
+    if distance >= 0:
+        return buffer_polygon_mitre(ring, distance, mitre_limit)
+    if is_convex(p):
+        out = buffer_convex_ring(p, distance)
+        from .faces import _signed_area
+
+        loop = [tuple(q) for q in out]
+        return [(loop, [], abs(_signed_area(loop)))]
+    return shrink_polygon_mitre(ring, distance, mitre_limit)

@@ -3606,6 +3606,74 @@ def q_buffer_polygons(sf_dir: str):
     )
 
 
+@register(
+    "buffer_shrink_concave",
+    f"""
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+           CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END::BIGINT AS n_parts,
+           0::BIGINT AS n_holes,
+           CASE WHEN doc_id % 5 = 0 THEN 7840000
+                WHEN doc_id % 2 = 0 THEN 7840000
+                ELSE 7440000 END::BIGINT AS area_e8
+    FROM documents, (SELECT unnest([0, 1]) AS part) p
+    WHERE part = 0 OR doc_id % 5 = 0
+    """,
+)
+def q_buffer_shrink_concave(sf_dir: str):
+    """Negative (inward) mitre buffer incl. CONCAVE rings — the
+    JTSBufferUtil.java:19 path the convex kernel refuses: the raw
+    inward offset curve (mitre joins, bevel past the limit) is noded
+    through the segment arrangement and positive-winding cells keep.
+    Classes: square (exact-convex crosscheck, inset area (s-2d)^2),
+    concave L (every edge insets, the reflex corner insets INTO the
+    notch), dumbbell (neck narrower than 2d -> erodes into TWO parts,
+    one row each). d = 0.06."""
+    from ..geo.buffer import buffer_polygon_mitre
+    from ..stages.rings import rel_base
+
+    def run(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy().astype(np.int64)
+        blat, blon = rel_base(doc)
+        urls, n_parts, holes, areas = [], [], [], []
+        for d, by, bx in zip(doc, blat, blon):
+            d = int(d)
+            if d % 5 == 0:
+                ring = np.array(
+                    [[bx, by], [bx + 0.4, by], [bx + 0.4, by + 0.15],
+                     [bx + 0.6, by + 0.15], [bx + 0.6, by], [bx + 1.0, by],
+                     [bx + 1.0, by + 0.4], [bx + 0.6, by + 0.4],
+                     [bx + 0.6, by + 0.25], [bx + 0.4, by + 0.25],
+                     [bx + 0.4, by + 0.4], [bx, by + 0.4]]
+                )
+            elif d % 2 == 0:
+                ring = np.array(
+                    [[bx, by], [bx + 0.4, by], [bx + 0.4, by + 0.4], [bx, by + 0.4]]
+                )
+            else:
+                ring = np.array(
+                    [[bx, by], [bx + 0.6, by], [bx + 0.6, by + 0.2],
+                     [bx + 0.3, by + 0.2], [bx + 0.3, by + 0.4], [bx, by + 0.4]]
+                )
+            parts = buffer_polygon_mitre(ring, -0.06)
+            for _outer, f_holes, area in parts:
+                urls.append(f"{synth.URL_PREFIX}{d}")
+                n_parts.append(len(parts))
+                holes.append(len(f_holes))
+                areas.append(int(np.floor(area * 1e8 + 0.5)))
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "n_parts": pa.array(n_parts, type=pa.int64()),
+                "n_holes": pa.array(holes, type=pa.int64()),
+                "area_e8": pa.array(areas, type=pa.int64()),
+            }
+        )
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # coastline -> sea-area assembly (MultipolygonAreaBuilder.java:344-640)
 # ---------------------------------------------------------------------------
