@@ -3675,6 +3675,180 @@ def q_buffer_shrink_concave(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# network junction / connector cut geometry (NetworkCalculator.java:44-114)
+# ---------------------------------------------------------------------------
+
+from ..stages.network import SPOKES_SQL as _SPOKES_SQL  # noqa: E402
+
+
+@register(
+    "network_junctions",
+    f"""
+    WITH {_SPOKES_SQL},
+    ord AS (
+      SELECT doc_id, k, deg, dx, dy, w,
+        CASE WHEN atan2(dx, dy) < 0 THEN atan2(dx, dy) + 2*pi()
+             ELSE atan2(dx, dy) END AS ang
+      FROM spokes
+    ),
+    nbr AS (
+      SELECT *,
+        row_number() OVER w - 1 AS pos,
+        CASE WHEN row_number() OVER w = deg THEN first_value(dx) OVER wf
+             ELSE lead(dx) OVER w END AS ndx,
+        CASE WHEN row_number() OVER w = deg THEN first_value(dy) OVER wf
+             ELSE lead(dy) OVER w END AS ndy,
+        CASE WHEN row_number() OVER w = deg THEN first_value(w) OVER wf
+             ELSE lead(w) OVER w END AS nw,
+        CASE WHEN row_number() OVER w = deg THEN first_value(ang) OVER wf
+             ELSE lead(ang) OVER w END AS nang,
+        first_value(dx) OVER wf AS s1dx, first_value(dy) OVER wf AS s1dy,
+        last_value(dx) OVER wf AS s2dx, last_value(dy) OVER wf AS s2dy
+      FROM ord
+      WINDOW w AS (PARTITION BY doc_id ORDER BY ang, k),
+             wf AS (PARTITION BY doc_id ORDER BY ang, k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    jx AS (
+      -- intersection of s's LEFT edge line with successor t's RIGHT
+      -- edge line (both outbound-flipped), null when near-parallel
+      SELECT *,
+        CASE WHEN par THEN NULL
+             ELSE spx - tt * dx END AS ix,
+        CASE WHEN par THEN NULL
+             ELSE spy - tt * dy END AS iy
+      FROM (
+        SELECT *,
+          (CASE WHEN abs(
+             (CASE WHEN ang + pi() >= 2*pi() THEN ang + pi() - 2*pi()
+                   ELSE ang + pi() END) - nang) <= pi()
+            THEN abs((CASE WHEN ang + pi() >= 2*pi() THEN ang + pi() - 2*pi()
+                   ELSE ang + pi() END) - nang)
+            ELSE 2*pi() - abs((CASE WHEN ang + pi() >= 2*pi()
+                   THEN ang + pi() - 2*pi() ELSE ang + pi() END) - nang)
+           END) < pi()/18
+           OR abs(dy*ndx - dx*ndy) <= {float(np.float32(0.0001))!r} AS par,
+          ((0.5*ndy + 0.5*nw*ndx - (0.5*dy - 0.5*w*dx)) * (-ndx)
+           - (0.5*ndx - 0.5*nw*ndy - (0.5*dx + 0.5*w*dy)) * (-ndy))
+            / (dy*ndx - dx*ndy) AS tt,
+          0.5*dx + 0.5*w*dy AS spx,
+          0.5*dy - 0.5*w*dx AS spy
+        FROM nbr
+      )
+    ),
+    jprev AS (
+      SELECT *,
+        CASE WHEN pos = 0 THEN last_value(ix) OVER wf
+             ELSE lag(ix) OVER w END AS pix,
+        CASE WHEN pos = 0 THEN last_value(iy) OVER wf
+             ELSE lag(iy) OVER w END AS piy
+      FROM jx
+      WINDOW w AS (PARTITION BY doc_id ORDER BY ang, k),
+             wf AS (PARTITION BY doc_id ORDER BY ang, k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    cuts AS (
+      SELECT *,
+        CASE
+          WHEN deg >= 3 THEN greatest(
+            coalesce(ix*dx + iy*dy, -1e18),
+            coalesce(pix*dx + piy*dy, -1e18), 0.0)
+          ELSE 0.0
+        END AS smax,
+        -- connector cut vector (deg = 2): bisector of (-dir1, dir2),
+        -- right normal on the exact straight line, right-pointing
+        CASE WHEN -s1dx = s2dx AND -s1dy = s2dy THEN s2dy
+             ELSE s2dx + s1dx END AS rawcx,
+        CASE WHEN -s1dx = s2dx AND -s1dy = s2dy THEN -s2dx
+             ELSE s2dy + s1dy END AS rawcy
+      FROM jprev
+    ),
+    geom AS (
+      SELECT doc_id, k, deg, pos, dx, dy, w,
+        CASE WHEN deg >= 3 THEN 1 WHEN deg = 2 THEN 2 ELSE 3 END AS case_code,
+        CASE WHEN deg >= 3 THEN smax*dx ELSE 0.0 END AS cx,
+        CASE WHEN deg >= 3 THEN smax*dy ELSE 0.0 END AS cy,
+        CASE
+          WHEN deg >= 3 THEN smax*dx - dy*0.5*w
+          WHEN deg = 2 THEN -(cvx * sgn_w)
+          ELSE -dy*0.5*w
+        END AS lx,
+        CASE
+          WHEN deg >= 3 THEN smax*dy + dx*0.5*w
+          WHEN deg = 2 THEN -(cvy * sgn_w)
+          ELSE dx*0.5*w
+        END AS ly,
+        CASE
+          WHEN deg >= 3 THEN smax*dx + dy*0.5*w
+          WHEN deg = 2 THEN cvx * sgn_w
+          ELSE dy*0.5*w
+        END AS rx,
+        CASE
+          WHEN deg >= 3 THEN smax*dy - dx*0.5*w
+          WHEN deg = 2 THEN cvy * sgn_w
+          ELSE -dx*0.5*w
+        END AS ry,
+        ang
+      FROM (
+        SELECT *,
+          CASE WHEN -s1dy*(rawcx/sqrt(rawcx*rawcx + rawcy*rawcy))
+                    - (-s1dx)*(rawcy/sqrt(rawcx*rawcx + rawcy*rawcy)) <= 0
+               THEN -(rawcx/sqrt(rawcx*rawcx + rawcy*rawcy))
+               ELSE rawcx/sqrt(rawcx*rawcx + rawcy*rawcy) END AS cvx,
+          CASE WHEN -s1dy*(rawcx/sqrt(rawcx*rawcx + rawcy*rawcy))
+                    - (-s1dx)*(rawcy/sqrt(rawcx*rawcx + rawcy*rawcy)) <= 0
+               THEN -(rawcy/sqrt(rawcx*rawcx + rawcy*rawcy))
+               ELSE rawcy/sqrt(rawcx*rawcx + rawcy*rawcy) END AS cvy,
+          CASE WHEN pos = 0 THEN -w*0.5 ELSE w*0.5 END AS sgn_w
+        FROM cuts
+      )
+    ),
+    snapped AS (
+      SELECT *,
+        CASE WHEN deg >= 3 AND
+          sqrt((nlx - rx)*(nlx - rx) + (nly - ry)*(nly - ry)) < 0.01
+          THEN nlx ELSE rx END AS rx2,
+        CASE WHEN deg >= 3 AND
+          sqrt((nlx - rx)*(nlx - rx) + (nly - ry)*(nly - ry)) < 0.01
+          THEN nly ELSE ry END AS ry2
+      FROM (
+        SELECT *,
+          CASE WHEN pos = deg - 1 THEN first_value(lx) OVER wf
+               ELSE lead(lx) OVER w END AS nlx,
+          CASE WHEN pos = deg - 1 THEN first_value(ly) OVER wf
+               ELSE lead(ly) OVER w END AS nly
+        FROM geom
+        WINDOW w AS (PARTITION BY doc_id ORDER BY ang, k),
+               wf AS (PARTITION BY doc_id ORDER BY ang, k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      )
+    )
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url, k, case_code,
+           CAST(floor(lx * 1000000 + 0.5) AS BIGINT) AS lx_udeg,
+           CAST(floor(ly * 1000000 + 0.5) AS BIGINT) AS ly_udeg,
+           CAST(floor(cx * 1000000 + 0.5) AS BIGINT) AS cx_udeg,
+           CAST(floor(cy * 1000000 + 0.5) AS BIGINT) AS cy_udeg,
+           CAST(floor(rx2 * 1000000 + 0.5) AS BIGINT) AS rx_udeg,
+           CAST(floor(ry2 * 1000000 + 0.5) AS BIGINT) AS ry_udeg
+    FROM snapped
+    """,
+)
+def q_network_junctions(sf_dir: str):
+    """Per-node network cut geometry (NetworkCalculator.java:44-114):
+    junction edge-line intersections with the pi/18 parallel exclusion
+    and farthest-projection cut points, degree-2 bisector connectors
+    (incl. the exact straight-line right-normal fallback), orthogonal
+    cuts at dead ends, and the 0.01 contact snap-merge. One star node
+    per document (spokes 1 + doc%4, a T-junction class with an exactly
+    parallel spoke pair); one bounded-bucket shuffle, all branches
+    vectorized across the bucket's nodes. Outputs node-relative
+    micro-degrees."""
+    from ..stages.network import network_junctions
+
+    return network_junctions(datasets.documents_ds(sf_dir, columns=["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
 # coastline -> sea-area assembly (MultipolygonAreaBuilder.java:344-640)
 # ---------------------------------------------------------------------------
 
