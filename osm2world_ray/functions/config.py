@@ -83,11 +83,15 @@ class O2WConfig:
         ) else "BridgeTunnelEleCalculator"
 
     def spatial_index(self) -> str:
-        """spatialIndex strategy name: IndexGrid (default) or
-        Map2dTree (SpatialIndex implementations,
+        """spatialIndex strategy name: IndexGrid (default), Map2dTree
+        or MapQuadtree (SpatialIndex implementations,
         math/datastructures/)."""
         name = self.get_string("spatialIndex")
-        return name if name in ("IndexGrid", "Map2dTree") else "IndexGrid"
+        return (
+            name
+            if name in ("IndexGrid", "Map2dTree", "MapQuadtree")
+            else "IndexGrid"
+        )
 
     def max_log_entries(self) -> int:
         """maxLogEntries (log head+tail truncation bound)."""

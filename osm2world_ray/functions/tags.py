@@ -177,3 +177,19 @@ def is_relevant_relation(tags: list[tuple[str, str]]) -> bool:
             or d.get("power") == "generator"
         )
     return d.get("type") in RELATION_TYPE_WHITELIST
+
+
+def is_bridge(tags: dict[str, str]) -> bool:
+    """BridgeModule.isBridge (BridgeModule.java:53-56): bridge key
+    present with any value other than "no"."""
+    return "bridge" in tags and tags["bridge"] != "no"
+
+
+def is_tunnel(tags: dict[str, str]) -> bool:
+    """TunnelModule.isTunnel (TunnelModule.java:45-49): tunnel key
+    present, value neither "no" nor "building_passage"."""
+    return (
+        "tunnel" in tags
+        and tags["tunnel"] != "no"
+        and tags["tunnel"] != "building_passage"
+    )

@@ -331,6 +331,35 @@ def q_pip_join_kdtree(sf_dir: str):
     )
 
 
+ORACLES["pip_join_quadtree"] = ORACLES["pip_join_contain"]
+
+
+@register("pip_join_quadtree")
+def q_pip_join_quadtree(sf_dir: str):
+    """pip_join_contain with the MapQuadtree index strategy (insert
+    into every touched quadrant, split-at-11 leaves with the
+    max-node-size-reduction guard, MapQuadtree.java:22-256) — the third
+    interchangeable strategy behind the probe API."""
+    import ray
+
+    from ..functions.config import O2WConfig
+    from ..sources.boundaries import boundaries_table
+    from ..stages.pip_join import PIPJoin
+
+    cfg = O2WConfig({"spatialIndex": "MapQuadtree"})
+    ref = ray.put(boundaries_table())
+    ds = datasets.mentions_ds(sf_dir)
+    return ds.map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"boundaries_ref": ref,
+                               "strategy": cfg.spatial_index()},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def _typed_overlap_sql() -> str:
     from ..sources.boundaries import BOUNDARY_SPECS, Diamond
 
@@ -531,7 +560,7 @@ def _overlap_pairs_from(mentions_ds, *, urlized: bool = True):
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     pairs = ds.groupby("bucket").map_groups(
-        overlaps.pairwise_bbox_pairs, batch_format="pandas"
+        overlaps.pairwise_bbox_pairs, batch_format="pyarrow"
     )
     if not urlized:
         return pairs
@@ -602,7 +631,7 @@ def q_segment_intersections(sf_dir: str):
         ["doc_id", "seg_idx", "x1", "y1", "x2", "y2", "cell", "cell_ix", "cell_iy", "bucket"]
     )
     return ds.groupby("bucket").map_groups(
-        overlaps.segment_pairs_intersections, batch_format="pandas"
+        overlaps.segment_pairs_intersections, batch_format="pyarrow"
     ).map_batches(
         lambda b: overlaps.urlize(b, {"doc_a": "url_a", "doc_b": "url_b"}),
         batch_format="pyarrow",
@@ -2322,7 +2351,7 @@ def q_overlap_pairs_salted(sf_dir: str):
         ["doc_id", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy", "bucket"]
     )
     return ds.groupby("bucket").map_groups(
-        overlaps.pairwise_bbox_pairs, batch_format="pandas"
+        overlaps.pairwise_bbox_pairs, batch_format="pyarrow"
     ).map_batches(
         lambda b: overlaps.urlize(b, {"doc_a": "url_a", "doc_b": "url_b"}),
         batch_format="pyarrow",
@@ -4529,6 +4558,106 @@ def q_ele_tag_calc(sf_dir: str):
     )
 
 
+@register(
+    "ele_bridge_tunnel_calc",
+    f"""
+    WITH {synth.MENTIONS_SQL}, q AS (
+      SELECT url, mention_idx, doc_id * 3 + mention_idx AS k,
+             (lon + 180.0) * 128 AS qx, (lat + 90.0) * 128 AS qy,
+             {synth.sql_cell_ix('lon', 7)} AS cx,
+             {synth.sql_cell_iy('lat', 7)} AS cy
+      FROM mentions
+    ),
+    w AS (
+      SELECT url, mention_idx, k,
+             1.0 / ((qx - (cx + dx.x + 0.5)) ^ 2 + (qy - (cy + dy.y + 0.5)) ^ 2) AS wgt,
+             (((cx + dx.x) * 73856093 + (cy + dy.y) * 19349663) % 4000) AS sele
+      FROM q, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+    ),
+    terr AS (
+      SELECT url, mention_idx, k,
+             sum(wgt * sele) / sum(wgt) AS terrain
+      FROM w GROUP BY 1, 2, 3
+    )
+    SELECT url, mention_idx,
+           CASE
+             -- bridge=* and not "no" -> terrain + 0.1
+             WHEN k % 7 IN (0, 5)
+               THEN CAST(floor((terrain + 0.1) * 1000 + 0.5) AS BIGINT)
+             -- tunnel=yes -> terrain + 0.0; tunnel=no /
+             -- building_passage and untagged keep terrain
+             WHEN k % 7 = 2
+               THEN CAST(floor((terrain + 0.0) * 1000 + 0.5) AS BIGINT)
+             ELSE CAST(floor(terrain * 1000 + 0.5) AS BIGINT)
+           END AS ele_mm
+    FROM terr
+    """,
+)
+def q_ele_bridge_tunnel_calc(sf_dir: str):
+    """BridgeTunnelEleCalculator strategy
+    (BridgeTunnelEleCalculator.java:10-36): terrain + 0.1 where
+    BridgeModule.isBridge (bridge key present, value != "no" — covers
+    bridge=viaduct), terrain + 0.0 where TunnelModule.isTunnel (tunnel
+    present, not "no"/"building_passage"), terrain elsewhere (null ->
+    connector keeps its elevation, TagEleCalculator.java:29-41). Tag
+    variants per mention: k%7 -> bridge=yes / bridge=no / tunnel=yes /
+    tunnel=no / tunnel=building_passage / bridge=viaduct / untagged."""
+    from ..functions.config import O2WConfig
+    from ..functions.tags import is_bridge, is_tunnel
+    from ..stages.raster import IDWInterpolate
+
+    assert O2WConfig(
+        {"eleCalculator": "BridgeTunnelEleCalculator"}
+    ).ele_calculator() == "BridgeTunnelEleCalculator"
+    variants = [
+        {"bridge": "yes"}, {"bridge": "no"}, {"tunnel": "yes"},
+        {"tunnel": "no"}, {"tunnel": "building_passage"},
+        {"bridge": "viaduct"}, {},
+    ]
+    #: resolved once with the real predicates: +0.1 / +0.0 / None
+    offsets = [
+        0.1 if is_bridge(t) else (0.0 if is_tunnel(t) else None)
+        for t in variants
+    ]
+
+    class BridgeTunnelCalc(IDWInterpolate):
+        def __init__(self):
+            super().__init__(raw=True)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            out = super().__call__(batch)
+            doc = pc.utf8_slice_codeunits(
+                batch["url"], len(synth.URL_PREFIX), 99
+            ).cast(pa.int64()).to_numpy()
+            k = doc * 3 + batch["mention_idx"].to_numpy()
+            terrain = out["ele"].to_numpy()
+            ele = terrain.copy()
+            for vi, off in enumerate(offsets):
+                if off is None:
+                    continue
+                sel = k % 7 == vi
+                ele[sel] = terrain[sel] + off
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "mention_idx": batch["mention_idx"],
+                    "ele_mm": pa.array(
+                        np.floor(ele * 1000.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+    return datasets.mentions_ds(sf_dir).map_batches(
+        BridgeTunnelCalc,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 ORACLES["read_osm_xml"] = ORACLES["read_osm_json"]
 
 
@@ -4789,7 +4918,8 @@ _SAMPLE_PRIORITY = [
     "classify_tags", "shrink_huge_areas",
     # round-3 additions (registered below as they are built)
     "mesh_merge", "mesh_merge_elements", "texture_atlas", "filter_lod",
-    "network_junctions", "segment_intersections_sweep", "buffer_shrink_concave",
+    "network_junctions", "buffer_shrink_concave", "pip_join_quadtree",
+    "ele_bridge_tunnel_calc",
 ]
 
 

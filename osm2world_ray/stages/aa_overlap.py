@@ -335,8 +335,11 @@ def _classify(aminx, amaxx, aminy, amaxy, bminx, bmaxx, bminy, bmaxy):
     return out
 
 
-def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-bucket typed area x area join with min-corner ownership."""
+def pairwise_aa_typed(group) -> pa.Table:
+    """Per-bucket typed area x area join with min-corner ownership
+    (Arrow or pandas group in, Arrow out)."""
+    from .overlaps import col_np
+
     empty = pa.table(
         {
             "akey": pa.array([], type=pa.int64()),
@@ -346,19 +349,18 @@ def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     )
     if len(group) < 2:
         return empty
-    cell = group["cell"].to_numpy(dtype=np.int64)
-    akey = group["akey"].to_numpy(dtype=np.int64)
+    cell = col_np(group, "cell", np.int64)
+    akey = col_np(group, "akey", np.int64)
     order = np.lexsort((akey, cell))
-    g = group.iloc[order]
     cell = cell[order]
     akey = akey[order]
-    cls = g["cls"].to_numpy(dtype=np.int64)
-    minx = g["minx"].to_numpy()
-    maxx = g["maxx"].to_numpy()
-    miny = g["miny"].to_numpy()
-    maxy = g["maxy"].to_numpy()
-    cell_ix = g["cell_ix"].to_numpy(dtype=np.int64)
-    cell_iy = g["cell_iy"].to_numpy(dtype=np.int64)
+    cls = col_np(group, "cls", np.int64)[order]
+    minx = col_np(group, "minx")[order]
+    maxx = col_np(group, "maxx")[order]
+    miny = col_np(group, "miny")[order]
+    maxy = col_np(group, "maxy")[order]
+    cell_ix = col_np(group, "cell_ix", np.int64)[order]
+    cell_iy = col_np(group, "cell_iy", np.int64)[order]
     scale_row = np.ldexp(1.0, (cell >> 58).astype(np.int64))
     ii, jj, large = _candidate_pairs(cell)
     for s, e in large:
@@ -412,14 +414,13 @@ def pairwise_aa_typed(group: pd.DataFrame) -> pd.DataFrame:
     out_a = np.where(inner_first, akey[jj], akey[ii])
     out_b = np.where(inner_first, akey[ii], akey[jj])
     names = np.array(["", "SHARE_SEGMENT", "CONTAIN", "CONTAIN", "INTERSECT"])
-    from .overlaps import _df_to_arrow
-    return _df_to_arrow(pd.DataFrame(
+    return pa.table(
         {
-            "akey": out_a,
-            "bkey": out_b,
-            "ov_type": names[code],
+            "akey": pa.array(out_a),
+            "bkey": pa.array(out_b),
+            "ov_type": pa.array(names[code], type=pa.string()),
         }
-    ))
+    )
 
 
 def overlap_aa_unsalted(mentions_ds):
@@ -429,7 +430,7 @@ def overlap_aa_unsalted(mentions_ds):
     areas = mentions_ds.map_batches(areas_from_mentions, batch_format="pyarrow")
     fanned = areas.map_batches(fan_out_area_cells, batch_format="pyarrow")
     return fanned.groupby("bucket").map_groups(
-        pairwise_aa_typed, batch_format="pandas"
+        pairwise_aa_typed, batch_format="pyarrow"
     )
 
 
@@ -514,5 +515,5 @@ def overlap_aa(mentions_ds, *, threshold: int = 50):
 
     fanned = areas.map_batches(fan, batch_format="pyarrow")
     return fanned.groupby("bucket").map_groups(
-        pairwise_aa_typed, batch_format="pandas"
+        pairwise_aa_typed, batch_format="pyarrow"
     )

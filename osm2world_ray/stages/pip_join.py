@@ -30,8 +30,9 @@ class BoundaryIndex:
     """Decoded boundary rings + a spatial index over their bboxes.
 
     ``strategy`` selects the index implementation — "IndexGrid"
-    (uniform grid, the converter's default) or "Map2dTree" (mean-split
-    k-d tree, ``Map2dTree.java:27-150``) — behind the identical
+    (uniform grid, the converter's default), "Map2dTree" (mean-split
+    k-d tree, ``Map2dTree.java:27-150``) or "MapQuadtree" (split-at-11
+    quadtree, ``MapQuadtree.java:22-256``) — behind the identical
     probe-candidates API, so join results are byte-identical across
     strategies (exact tests re-check every candidate)."""
 
@@ -50,6 +51,10 @@ class BoundaryIndex:
             from ..geo.kdtree import KdTreeIndex
 
             self.grid = KdTreeIndex(bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3])
+        elif strategy == "MapQuadtree":
+            from ..geo.quadtree import QuadTreeIndex
+
+            self.grid = QuadTreeIndex(bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3])
         else:
             self.grid = GridIndex(
                 bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3], n_cells_hint=32

@@ -49,20 +49,28 @@ def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def tile_rollup_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Bucket of partial rows -> (tx, ty, n_mentions, n_pages)."""
-    per_url = group.groupby(["tx", "ty", "url"], as_index=False, sort=False)[
-        "n"
-    ].sum()
-    out = per_url.groupby(["tx", "ty"], as_index=False, sort=False).agg(
-        n_mentions=("n", "sum"), n_pages=("url", "size")
+def tile_rollup_group(group) -> pa.Table:
+    """Bucket of partial rows -> (tx, ty, n_mentions, n_pages), Arrow
+    in/out (pyarrow C++ group_by; no pandas object round-trip)."""
+    t = (
+        group
+        if isinstance(group, pa.Table)
+        else pa.Table.from_pandas(group, preserve_index=False)
     )
-    return pd.DataFrame(
+    per_url = (
+        t.select(["tx", "ty", "url", "n"])
+        .group_by(["tx", "ty", "url"])
+        .aggregate([("n", "sum")])
+    )
+    tiles_t = per_url.group_by(["tx", "ty"]).aggregate(
+        [("n_sum", "sum"), ([], "count_all")]
+    )
+    return pa.table(
         {
-            "tx": out["tx"].to_numpy(dtype=np.int64),
-            "ty": out["ty"].to_numpy(dtype=np.int64),
-            "n_mentions": out["n_mentions"].to_numpy(dtype=np.int64),
-            "n_pages": out["n_pages"].to_numpy(dtype=np.int64),
+            "tx": tiles_t["tx"].cast(pa.int64()),
+            "ty": tiles_t["ty"].cast(pa.int64()),
+            "n_mentions": tiles_t["n_sum_sum"].cast(pa.int64()),
+            "n_pages": tiles_t["count_all"].cast(pa.int64()),
         }
     )
 
@@ -72,7 +80,7 @@ def tile_rollup(assigned_ds):
     ds = assigned_ds.map_batches(partial_tile_url_counts, batch_format="pyarrow")
     return (
         ds.groupby("bucket")
-        .map_groups(tile_rollup_group, batch_format="pandas")
+        .map_groups(tile_rollup_group, batch_format="pyarrow")
     )
 
 
