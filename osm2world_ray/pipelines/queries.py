@@ -4897,6 +4897,115 @@ def q_texture_atlas(sf_dir: str):
     return texture_atlas(datasets.documents_ds(sf_dir, columns=["doc_id"]))
 
 
+@register(
+    "mesh_layers_split",
+    f"""
+    WITH {_MESHES_SQL},
+    layered AS (
+      SELECT mesh_id, n_tris, 1 + mesh_id % 3 AS n_layers FROM meshes
+    )
+    SELECT mesh_id, l.layer,
+           CASE WHEN n_layers > 1 THEN 1 ELSE 0 END AS rebuilt,
+           CASE WHEN n_layers > 1
+                THEN CAST(floor(l.layer * 0.05 * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS offset_micro,
+           CASE WHEN n_layers > 1 AND l.layer > 0 THEN 1 ELSE 0 END
+             AS binary_transparency,
+           n_tris
+    FROM layered, (SELECT unnest([0, 1]) AS layer) l
+    WHERE l.layer < CASE WHEN n_layers <= 1 THEN 1
+                         ELSE least(2, n_layers) END
+    """,
+)
+def q_mesh_layers_split(sf_dir: str):
+    """EmulateTextureLayers (MeshStore.java:278-339, maxLayers=2):
+    multi-layer meshes split into one offset single-layer mesh per
+    texture layer (0.05/layer along the normal, BINARY transparency
+    above layer 0, layers past the cap omitted); single-layer meshes
+    pass through."""
+    from ..stages.mesh import emulate_texture_layers
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        emulate_texture_layers, batch_format="pyarrow"
+    )
+
+
+@register(
+    "mesh_colors_to_vertices",
+    f"""
+    WITH {_MESHES_SQL}
+    SELECT mesh_id,
+           CASE WHEN mesh_id % 4 <> 0 THEN 1 ELSE 0 END AS moved,
+           CASE WHEN mesh_id % 4 <> 0 THEN 3 ELSE color END AS new_color,
+           CASE WHEN mesh_id % 4 <> 0 OR mesh_id % 5 = 0
+                THEN 3 * n_tris ELSE 0 END AS n_vertex_colors
+    FROM meshes
+    """,
+)
+def q_mesh_colors_to_vertices(sf_dir: str):
+    """MoveColorsToVertices (MeshStore.java:342-398): meshes whose
+    layers are all non-colorable pass through; otherwise the material
+    color moves into per-vertex colors (existing kept, else one per
+    triangle vertex) and the material goes WHITE (code 3)."""
+    from ..stages.mesh import move_colors_to_vertices
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        move_colors_to_vertices, batch_format="pyarrow"
+    )
+
+
+@register(
+    "mesh_double_sided",
+    f"""
+    WITH {_MESHES_SQL}
+    SELECT mesh_id, s.side,
+           CASE WHEN s.side = 1 THEN 1 ELSE 0 END AS flipped, n_tris
+    FROM meshes, (SELECT unnest([0, 1]) AS side) s
+    WHERE s.side = 0 OR mesh_id % 6 = 0
+    """,
+)
+def q_mesh_double_sided(sf_dir: str):
+    """EmulateDoubleSidedMaterials (MeshStore.java:813-870):
+    double-sided meshes duplicate into a front copy plus a
+    winding-flipped back copy, both single-sided."""
+    from ..stages.mesh import emulate_double_sided
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        emulate_double_sided, batch_format="pyarrow"
+    )
+
+
+@register(
+    "mesh_convert_triangles",
+    f"""
+    WITH {_MESHES_SQL}
+    SELECT mesh_id, mesh_id % 3 AS geom_cls,
+      CASE mesh_id % 3
+        WHEN 0 THEN n_tris
+        WHEN 1 THEN n_verts - 2
+        ELSE CASE WHEN mesh_id % 2 = 0
+          THEN greatest(4, CAST(ceil(pi() / sqrt(2 * 0.2 / (1 + mesh_id % 4)))
+                              AS BIGINT) // 2)
+          ELSE greatest(4, CAST(ceil(pi() / sqrt(2 * 0.2 / (1 + mesh_id % 4)))
+                              AS BIGINT))
+        END
+      END AS n_out
+    FROM meshes
+    """,
+)
+def q_mesh_convert_triangles(sf_dir: str):
+    """ConvertToTriangles(LOD2 -> desiredMaxError 0.2)
+    (MeshStore.java:142-176): triangle geometry passes through, shape
+    geometry fans to n_verts-2 triangles, circle extrusions discretize
+    with numPoints = max(4, ceil(pi/sqrt(2*err/maxRadius))) halved (min
+    4) when no end cap is visible (ExtrusionGeometry.java:185-199)."""
+    from ..stages.mesh import convert_to_triangles
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        convert_to_triangles, batch_format="pyarrow"
+    )
+
+
 #: queries surfaced FIRST to the driver's correctness sampler (it checks
 #: the leading entries of the dict): operators that have never had a
 #: driver-verified row (rounds 1-2 sampled the first 50 in registration
@@ -4919,7 +5028,8 @@ _SAMPLE_PRIORITY = [
     # round-3 additions (registered below as they are built)
     "mesh_merge", "mesh_merge_elements", "texture_atlas", "filter_lod",
     "network_junctions", "buffer_shrink_concave", "pip_join_quadtree",
-    "ele_bridge_tunnel_calc",
+    "ele_bridge_tunnel_calc", "mesh_layers_split", "mesh_colors_to_vertices",
+    "mesh_double_sided", "mesh_convert_triangles",
 ]
 
 

@@ -264,3 +264,124 @@ def texture_atlas(docs_ds):
         )
 
     return rows.map_batches(remap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# remaining MeshStore processing steps (pure per-mesh maps, no shuffle)
+# ---------------------------------------------------------------------------
+
+#: EmulateTextureLayers offset between faked layers (MeshStore.java:280)
+OFFSET_PER_LAYER = 5e-2
+#: layer cap exercised by the registered query (maxLayers ctor arg)
+MAX_LAYERS = 2
+#: ConvertToTriangles(LOD2) desired max error (MeshStore.java:150-158)
+LOD2_MAX_ERROR = 0.20
+
+
+def emulate_texture_layers(batch: pa.Table, *, max_layers: int = MAX_LAYERS) -> pa.Table:
+    """EmulateTextureLayers (MeshStore.java:278-339): multi-layer
+    meshes split into one single-layer mesh per texture layer, each
+    shifted ``layer * OFFSET_PER_LAYER`` along the normal; layers past
+    ``max_layers`` are omitted; layers > 0 get BINARY transparency;
+    single-layer meshes pass through unchanged."""
+    rows = mesh_rows(batch)
+    mesh_id = rows["mesh_id"].to_numpy()
+    n_layers = 1 + mesh_id % 3
+    emit = np.where(n_layers <= 1, 1, np.minimum(max_layers, n_layers))
+    rep = np.repeat(np.arange(len(mesh_id)), emit)
+    ends = np.cumsum(emit)
+    layer = np.arange(int(ends[-1]) if len(mesh_id) else 0, dtype=np.int64) \
+        - np.repeat(ends - emit, emit)
+    m = mesh_id[rep]
+    rebuilt = (n_layers[rep] > 1).astype(np.int64)
+    return pa.table(
+        {
+            "mesh_id": pa.array(m),
+            "layer": pa.array(layer),
+            "rebuilt": pa.array(rebuilt),
+            "offset_micro": pa.array(
+                np.floor(layer * OFFSET_PER_LAYER * 1e6 + 0.5).astype(np.int64)
+                * rebuilt
+            ),
+            "binary_transparency": pa.array(
+                ((layer > 0) & (rebuilt == 1)).astype(np.int64)
+            ),
+            "n_tris": rows["n_tris"].to_numpy()[rep],
+        }
+    )
+
+
+def move_colors_to_vertices(batch: pa.Table) -> pa.Table:
+    """MoveColorsToVertices (MeshStore.java:342-398): meshes whose
+    texture layers are all non-colorable pass through; otherwise the
+    material color moves into per-vertex colors (existing vertex colors
+    kept, else nCopies(vertices, material.color)) and the material goes
+    WHITE (color code 3)."""
+    rows = mesh_rows(batch)
+    mesh_id = rows["mesh_id"].to_numpy()
+    color = rows["color"].to_numpy()
+    n_tris = rows["n_tris"].to_numpy()
+    colorable = mesh_id % 4 != 0
+    has_vcolors = mesh_id % 5 == 0
+    moved = colorable  # every synth mesh has >= 1 texture layer
+    n_vc = np.where(moved | has_vcolors, 3 * n_tris, 0)
+    return pa.table(
+        {
+            "mesh_id": pa.array(mesh_id),
+            "moved": pa.array(moved.astype(np.int64)),
+            "new_color": pa.array(np.where(moved, 3, color)),
+            "n_vertex_colors": pa.array(n_vc),
+        }
+    )
+
+
+def emulate_double_sided(batch: pa.Table) -> pa.Table:
+    """EmulateDoubleSidedMaterials (MeshStore.java:813-870):
+    double-sided meshes duplicate into a front copy and a
+    winding-flipped back copy, both single-sided."""
+    rows = mesh_rows(batch)
+    mesh_id = rows["mesh_id"].to_numpy()
+    n_tris = rows["n_tris"].to_numpy()
+    ds = mesh_id % 6 == 0
+    copies = np.where(ds, 2, 1)
+    rep = np.repeat(np.arange(len(mesh_id)), copies)
+    ends = np.cumsum(copies)
+    side = np.arange(int(ends[-1]) if len(mesh_id) else 0, dtype=np.int64) \
+        - np.repeat(ends - copies, copies)
+    return pa.table(
+        {
+            "mesh_id": pa.array(mesh_id[rep]),
+            "side": pa.array(side),
+            "flipped": pa.array((side == 1).astype(np.int64)),
+            "n_tris": pa.array(n_tris[rep]),
+        }
+    )
+
+
+def convert_to_triangles(batch: pa.Table) -> pa.Table:
+    """ConvertToTriangles(LOD2) tessellation decisions
+    (MeshStore.java:142-176 + ExtrusionGeometry.java:185-199): triangle
+    geometry passes through (n_out = n_tris), shape geometry fans
+    (n_verts - 2), circle extrusions discretize the ring with
+    numPoints = max(4, ceil(pi / sqrt(2*err/maxRadius))), halved (min
+    4) when neither end cap is visible."""
+    rows = mesh_rows(batch)
+    mesh_id = rows["mesh_id"].to_numpy()
+    n_tris = rows["n_tris"].to_numpy()
+    n_verts = rows["n_verts"].to_numpy()
+    gcls = mesh_id % 3
+    radius = (1 + mesh_id % 4).astype(np.float64)
+    pts = np.maximum(
+        4,
+        np.ceil(np.pi / np.sqrt(2 * LOD2_MAX_ERROR / radius)).astype(np.int64),
+    )
+    capless = mesh_id % 2 == 0
+    pts = np.where(capless, np.maximum(4, pts // 2), pts)
+    n_out = np.where(gcls == 0, n_tris, np.where(gcls == 1, n_verts - 2, pts))
+    return pa.table(
+        {
+            "mesh_id": pa.array(mesh_id),
+            "geom_cls": pa.array(gcls),
+            "n_out": pa.array(n_out),
+        }
+    )
