@@ -4032,6 +4032,35 @@ def q_export_obj(sf_dir: str):
     return export_obj(sf_dir, out_dir)
 
 
+@register(
+    "export_gltf",
+    f"""
+    SELECT doc_id % 16 AS part,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 10 END) AS BIGINT)
+             AS n_vertices,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 8 END) AS BIGINT)
+             AS n_faces,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 360 ELSE 216 END) AS BIGINT)
+             AS buffer_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q_export_gltf(sf_dir: str):
+    """Partitioned glTF 2.0 export (GltfOutput.java geometry half):
+    float32 VEC3 POSITION accessors with spec-required min/max, uint32
+    index accessors, single base64 data-URI buffer per partition file;
+    per-partition metrics rows. buffer_bytes is closed-form 12 bytes
+    per vertex + 12 per triangle (16v/14f two-hole docs, 10v/8f
+    one-hole)."""
+    import tempfile
+
+    from ..state.gltf_sink import export_gltf
+
+    out_dir = tempfile.mkdtemp(prefix="o2w_gltf_", dir="/tmp")
+    return export_gltf(sf_dir, out_dir)
+
+
 # ---------------------------------------------------------------------------
 # OSM JSON reader (JsonReader.java:24-120, OSM API + Overpass dialects)
 # ---------------------------------------------------------------------------
@@ -5029,7 +5058,7 @@ _SAMPLE_PRIORITY = [
     "mesh_merge", "mesh_merge_elements", "texture_atlas", "filter_lod",
     "network_junctions", "buffer_shrink_concave", "pip_join_quadtree",
     "ele_bridge_tunnel_calc", "mesh_layers_split", "mesh_colors_to_vertices",
-    "mesh_double_sided", "mesh_convert_triangles",
+    "mesh_double_sided", "mesh_convert_triangles", "export_gltf",
 ]
 
 
