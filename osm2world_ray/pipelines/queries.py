@@ -4061,6 +4061,31 @@ def q_export_gltf(sf_dir: str):
     return export_gltf(sf_dir, out_dir)
 
 
+@register(
+    "export_pov",
+    f"""
+    SELECT doc_id % 16 AS part,
+           count(*) AS n_docs,
+           count(*) AS n_meshes,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 8 END) AS BIGINT)
+             AS n_triangles
+    FROM documents GROUP BY 1
+    """,
+)
+def q_export_pov(sf_dir: str):
+    """Partitioned POV-Ray scene export (POVRayOutput.java:290-375
+    geometry half): per-doc mesh blocks of triangle { <...> } entries
+    with the reference's NaN skip and empty-mesh suppression;
+    per-partition metrics rows (every synth doc yields a non-empty
+    mesh, so n_meshes = n_docs)."""
+    import tempfile
+
+    from ..state.pov_sink import export_pov
+
+    out_dir = tempfile.mkdtemp(prefix="o2w_pov_", dir="/tmp")
+    return export_pov(sf_dir, out_dir)
+
+
 # ---------------------------------------------------------------------------
 # OSM JSON reader (JsonReader.java:24-120, OSM API + Overpass dialects)
 # ---------------------------------------------------------------------------
@@ -5058,7 +5083,7 @@ _SAMPLE_PRIORITY = [
     "mesh_merge", "mesh_merge_elements", "texture_atlas", "filter_lod",
     "network_junctions", "buffer_shrink_concave", "pip_join_quadtree",
     "ele_bridge_tunnel_calc", "mesh_layers_split", "mesh_colors_to_vertices",
-    "mesh_double_sided", "mesh_convert_triangles", "export_gltf",
+    "mesh_double_sided", "mesh_convert_triangles", "export_gltf", "export_pov",
 ]
 
 
