@@ -35,8 +35,12 @@ BENCH_QUERIES = [
     "segment_intersections", # segment x segment intersection self-join
     "clip_to_cell",          # straddle fan-out + exact clip
     "interp_linear",         # Delaunay build-once/probe-many actor pool
-    "overlap_aa",            # typed area x area pairwise join
+    "overlap_aa",            # typed area x area pairwise join (salted, mixed outlines)
     "assemble_rings",        # relation co-group ring stitching
+    # round-3 additions (outside core8; grand total not comparable to r1/r2)
+    "network_junctions",     # per-node cut geometry, vectorized buckets
+    "mesh_merge",            # MergeMeshes partial-agg combiner
+    "dedup_minhash_lsh",     # banded near-dup with shuffle-joined verify
 ]
 
 
