@@ -5060,6 +5060,124 @@ def q_mesh_convert_triangles(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# PropertyStyle material table + resolution (style/PropertyStyle.java)
+# ---------------------------------------------------------------------------
+
+#: literal properties-file config exercising every parsing branch:
+#: greedy underscore names, case-insensitive enums, invalid enum/color
+#: fallbacks, texture-group contiguity, default override
+_STYLE_CONFIG = {
+    "material_Brick_color": "#b22222",
+    "material_Brick_doubleSided": "true",
+    "material_Brick_texture0_file": "brick.png",
+    "material_Brick_texture1_file": "brick_n.png",
+    "material_Brick_texture3_file": "gap.png",  # gap at 2 -> 2 groups
+    "material_Mossy_Stone_color": "hsv(120, 50%, 60%)",
+    "material_Mossy_Stone_interpolation": "smooth",
+    "material_Mossy_Stone_ssao": "nope",  # invalid enum -> ignored
+    "material_Steel_color": "oops",  # invalid color -> WHITE kept
+    "material_Steel_transparency": "BINARY",
+    "material_grass_color": "#004400",  # overrides the seeded default
+    "unrelated_key": "x",
+    "material_trailing_underscore_": "x",  # no attribute -> no match
+}
+
+_STYLE_NAMES = [
+    "Brick", "mossy_stone", "STEEL", "Grass", "terrain_default", "Unknownium",
+]
+
+
+@register(
+    "style_materials",
+    f"""
+    SELECT '{synth.URL_PREFIX}' || doc_id AS url,
+      CASE doc_id % 6 WHEN 0 THEN 'Brick' WHEN 1 THEN 'mossy_stone'
+        WHEN 2 THEN 'STEEL' WHEN 3 THEN 'Grass'
+        WHEN 4 THEN 'terrain_default' ELSE 'Unknownium' END AS req_name,
+      CAST(CASE WHEN doc_id % 6 = 5 THEN 0 ELSE 1 END AS BIGINT) AS found,
+      CAST(CASE doc_id % 6
+        WHEN 0 THEN 11674146    -- #b22222
+        WHEN 1 THEN 5085517     -- hsv(120,50%,60%) = (77,153,77)
+        WHEN 2 THEN 16777215    -- invalid color -> WHITE
+        WHEN 3 THEN 17408       -- #004400 (default overridden)
+        WHEN 4 THEN 8947848     -- default material
+        ELSE -1 END AS BIGINT) AS color_rgb,
+      CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 5 THEN -1 ELSE 0 END
+           AS BIGINT) AS double_sided,
+      CASE doc_id % 6
+        WHEN 1 THEN 'SMOOTH' WHEN 4 THEN 'SMOOTH'
+        WHEN 5 THEN '' ELSE 'FLAT' END AS interpolation,
+      CASE doc_id % 6
+        WHEN 2 THEN 'BINARY' WHEN 5 THEN '' ELSE 'FALSE' END AS transparency,
+      CAST(CASE doc_id % 6 WHEN 0 THEN 2 WHEN 5 THEN -1 ELSE 0 END
+           AS BIGINT) AS n_tex_groups
+    FROM documents
+    """,
+)
+def q_style_materials(sf_dir: str):
+    """PropertyStyle material table + case-insensitive resolveMaterial
+    (style/PropertyStyle.java:32-236): material_(NAME)_(attr) keys
+    grouped by greedy name, fresh FLAT/WHITE base per configured
+    material (configured names REPLACE seeded defaults), boolean/enum/
+    color attribute application with the reference's silent-ignore
+    fallbacks, contiguous texture-group counting. The oracle states the
+    hand-derived resolved table as literals — if any parsing rule
+    drifts, the values diverge."""
+    from ..functions.style import load_materials, resolve_material
+
+    table = load_materials(_STYLE_CONFIG)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy().astype(np.int64)
+        sel = doc % 6
+        names = np.array(_STYLE_NAMES, dtype=object)[sel]
+        mats = [resolve_material(table, n) for n in names.tolist()]
+        found = np.array([m is not None for m in mats])
+        rgb = np.array(
+            [
+                -1 if m is None
+                else (m["color"][0] << 16) + (m["color"][1] << 8) + m["color"][2]
+                for m in mats
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"{synth.URL_PREFIX}{d}" for d in doc], type=pa.string()
+                ),
+                "req_name": pa.array(names, type=pa.string()),
+                "found": pa.array(found.astype(np.int64)),
+                "color_rgb": pa.array(rgb),
+                "double_sided": pa.array(
+                    np.array(
+                        [-1 if m is None else m["double_sided"] for m in mats],
+                        dtype=np.int64,
+                    )
+                ),
+                "interpolation": pa.array(
+                    ["" if m is None else m["interpolation"] for m in mats],
+                    type=pa.string(),
+                ),
+                "transparency": pa.array(
+                    ["" if m is None else m["transparency"] for m in mats],
+                    type=pa.string(),
+                ),
+                "n_tex_groups": pa.array(
+                    np.array(
+                        [-1 if m is None else m["n_tex_groups"] for m in mats],
+                        dtype=np.int64,
+                    )
+                ),
+            }
+        )
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        resolve, batch_format="pyarrow"
+    )
+
+
 #: queries surfaced FIRST to the driver's correctness sampler (it checks
 #: the leading entries of the dict): operators that have never had a
 #: driver-verified row (rounds 1-2 sampled the first 50 in registration
@@ -5084,6 +5202,7 @@ _SAMPLE_PRIORITY = [
     "network_junctions", "buffer_shrink_concave", "pip_join_quadtree",
     "ele_bridge_tunnel_calc", "mesh_layers_split", "mesh_colors_to_vertices",
     "mesh_double_sided", "mesh_convert_triangles", "export_gltf", "export_pov",
+    "style_materials",
 ]
 
 
