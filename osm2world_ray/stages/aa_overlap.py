@@ -453,9 +453,8 @@ def fan_out_area_cells_salted(batch: pa.Table, hot_cells: np.ndarray, *,
     hot_src = base.take(pa.array(hot_idx)).drop(
         ["cell", "cell_ix", "cell_iy", "bucket"]
     )
-    df = hot_src.to_pandas()
-    keep = df.reset_index().drop_duplicates(["akey"])["index"].to_numpy()
-    hot_src = hot_src.take(pa.array(np.sort(keep)))
+    _, first = np.unique(hot_src["akey"].to_numpy(), return_index=True)
+    hot_src = hot_src.take(pa.array(np.sort(first)))
     fine = fan_out_area_cells(hot_src, r=r_hot)
     shift = r_hot - r
     parent = (
