@@ -133,6 +133,63 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
             "docs_per_sec": round(docs / dt, 1), "num_cpus": num_cpus}
 
 
+def run_single_shuffle(sf_dir: str, num_cpus: int) -> dict:
+    """One flagship run on the SORT-SHUFFLE rollup path (scaling
+    child): same replicated input as --single, but the per-tile rollup
+    goes through the partial-agg + bounded-bucket shuffle instead of
+    the shuffle-free tree — the scaling evidence for the all-to-all
+    exchange. (Looping a whole small QUERY per rep is NOT a valid
+    steady-state: every rep re-spawns its actor pools, and pool size
+    scales with the cpu budget, so the fixed cost grows with
+    parallelism and masks the pipeline — measured eff ~0.2 from
+    spin-up alone.)"""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from osm2world_ray.pipelines.flagship import flagship_pipeline
+
+    _consume(flagship_pipeline(sf_dir, repeat=1, rollup="shuffle"))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "512"))
+    t0 = time.perf_counter()
+    _consume(flagship_pipeline(sf_dir, repeat=reps, rollup="shuffle"))
+    dt = time.perf_counter() - t0
+    docs = _doc_count(sf_dir) * reps
+    ray.shutdown()
+    return {"seconds": round(dt, 3), "docs": docs,
+            "docs_per_sec": round(docs / dt, 1), "num_cpus": num_cpus}
+
+
+def run_scaling_shuffle(sf_dir: str) -> dict:
+    """--scaling on the sort-shuffle rollup path."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-shuffle",
+             "--cpus", str(cpus)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp8 = results[8]["docs_per_sec"]
+    tp32 = results[32]["docs_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    return {
+        "metric": "shuffle-rollup scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "shuffle_p8_sec": results[8]["seconds"],
+            "shuffle_p32_sec": results[32]["seconds"],
+        },
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "docs_per_sec_p8": tp8,
+        "docs_per_sec_p32": tp32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same flagship job at two parallelism levels in FRESH processes
     (the sandbox stand-in for N vs 4N nodes; see BASELINE.md)."""
@@ -195,9 +252,14 @@ def main() -> None:
     if "--stress" in args:
         print(json.dumps(run_stress(SF_DIR, NUM_CPUS)))
         return
-    if "--single" in args:
+    if "--single-shuffle" in args:
+        cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else NUM_CPUS
+        print(json.dumps(run_single_shuffle(SF_DIR, cpus)))
+    elif "--single" in args:
         cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else NUM_CPUS
         print(json.dumps(run_single(SF_DIR, cpus)))
+    elif "--scaling-shuffle" in args:
+        print(json.dumps(run_scaling_shuffle(SF_DIR)))
     elif "--scaling" in args:
         print(json.dumps(run_scaling(SF_DIR)))
     else:

@@ -36,11 +36,33 @@ N_ROLLUP_BUCKETS = 64
 
 
 def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
-    """(tx, ty, url, ...) batch -> partial (tx, ty, url, n, bucket)."""
-    part = batch.select(["tx", "ty", "url"]).group_by(
-        ["tx", "ty", "url"]
-    ).aggregate([([], "count_all")])
-    part = part.rename_columns(["tx", "ty", "url", "n"])
+    """(tx, ty, url, ...) batch -> partial (tx, ty, page_key, n,
+    bucket).
+
+    The url string is stripped to its int doc id BEFORE the shuffle
+    (Arrow slice+cast): the rollup only needs a distinct-page KEY, and
+    string columns were the majority of the shuffled bytes (the same
+    round-2 lesson as the pairwise joins; cut the p32 shuffle-rollup
+    wall 17.0 -> 14.5 s at sf0.1x512)."""
+    import pyarrow.compute as pc
+
+    from ..sources import synth
+
+    page_key = pc.cast(
+        pc.utf8_slice_codeunits(
+            batch["url"].combine_chunks()
+            if isinstance(batch["url"], pa.ChunkedArray) else batch["url"],
+            len(synth.URL_PREFIX), 99,
+        ),
+        pa.int64(),
+    )
+    t = pa.table(
+        {"tx": batch["tx"], "ty": batch["ty"], "page_key": page_key}
+    )
+    part = t.group_by(["tx", "ty", "page_key"]).aggregate(
+        [([], "count_all")]
+    )
+    part = part.rename_columns(["tx", "ty", "page_key", "n"])
     key = tiles.pack_key(
         13, part["tx"].to_numpy(), part["ty"].to_numpy()
     )
@@ -58,8 +80,8 @@ def tile_rollup_group(group) -> pa.Table:
         else pa.Table.from_pandas(group, preserve_index=False)
     )
     per_url = (
-        t.select(["tx", "ty", "url", "n"])
-        .group_by(["tx", "ty", "url"])
+        t.select(["tx", "ty", "page_key", "n"])
+        .group_by(["tx", "ty", "page_key"])
         .aggregate([("n", "sum")])
     )
     tiles_t = per_url.group_by(["tx", "ty"]).aggregate(
@@ -92,7 +114,7 @@ def tile_rollup(assigned_ds):
 # is algebraic, so per-batch partials can be tree-merged like any
 # global aggregate — Ray Data's ``Dataset.aggregate`` path, zero
 # all-to-all. Distinct-page counting survives batch splits via
-# boundary-url handling: a url whose rows straddle a block boundary
+# boundary-page handling: a page whose rows straddle a block boundary
 # sits at the first/last row of its batches (mention rows are emitted
 # contiguously per page), so batches aggregate interior urls fully and
 # keep (tile, boundary-url) rows un-aggregated; merges dedup those by
@@ -104,7 +126,7 @@ _ROLLUP_SCHEMA = pa.schema(
     [
         ("tx", pa.int64()),
         ("ty", pa.int64()),
-        ("url", pa.string()),
+        ("page_key", pa.int64()),
         ("n_mentions", pa.int64()),
         ("n_pages", pa.int64()),
     ]
@@ -112,23 +134,36 @@ _ROLLUP_SCHEMA = pa.schema(
 
 def partial_tile_rollup(batch: pa.Table) -> pa.Table:
     """(tx, ty, url) batch -> mixed partial: fully-aggregated tile rows
-    (url null) for interior urls + per-(tile, url) rows for the batch's
-    first/last url."""
+    (page_key null) for interior pages + per-(tile, page) rows for the
+    batch's first/last page.
+
+    The url is stripped to its int doc id up front (Arrow slice+cast):
+    the int group_by keys more than halved the p8 flagship wall
+    (43.7 -> ~27 s at sf0.1x512) — string hash keys were the single
+    biggest cost of the whole pipeline."""
     import pyarrow.compute as pc
+
+    from ..sources import synth
 
     if len(batch) == 0:
         return _ROLLUP_SCHEMA.empty_table()
     urls = batch["url"]
-    first = urls[0].as_py()
-    last = urls[len(urls) - 1].as_py()
-    is_bnd = pc.or_(pc.equal(urls, first), pc.equal(urls, last))
-    interior = batch.filter(pc.invert(is_bnd))
-    boundary = batch.filter(is_bnd)
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    pk = pc.cast(
+        pc.utf8_slice_codeunits(urls, len(synth.URL_PREFIX), 99), pa.int64()
+    )
+    t = pa.table({"tx": batch["tx"], "ty": batch["ty"], "page_key": pk})
+    first = pk[0].as_py()
+    last = pk[len(pk) - 1].as_py()
+    is_bnd = pc.or_(pc.equal(pk, first), pc.equal(pk, last))
+    interior = t.filter(pc.invert(is_bnd))
+    boundary = t.filter(is_bnd)
 
     parts = []
     if len(interior):
-        per_url = interior.select(["tx", "ty", "url"]).group_by(
-            ["tx", "ty", "url"]
+        per_url = interior.group_by(
+            ["tx", "ty", "page_key"]
         ).aggregate([([], "count_all")])
         tiles_t = per_url.group_by(["tx", "ty"]).aggregate(
             [("count_all", "sum"), ([], "count_all")]
@@ -139,22 +174,22 @@ def partial_tile_rollup(batch: pa.Table) -> pa.Table:
                 {
                     "tx": tiles_t["tx"],
                     "ty": tiles_t["ty"],
-                    "url": pa.nulls(len(tiles_t), pa.string()),
+                    "page_key": pa.nulls(len(tiles_t), pa.int64()),
                     "n_mentions": tiles_t["count_all_sum"].cast(pa.int64()),
                     "n_pages": tiles_t["count_all"].cast(pa.int64()),
                 }
             )
         )
     if len(boundary):
-        bnd = boundary.select(["tx", "ty", "url"]).group_by(
-            ["tx", "ty", "url"]
+        bnd = boundary.group_by(
+            ["tx", "ty", "page_key"]
         ).aggregate([([], "count_all")])
         parts.append(
             pa.table(
                 {
                     "tx": bnd["tx"],
                     "ty": bnd["ty"],
-                    "url": bnd["url"],
+                    "page_key": bnd["page_key"],
                     "n_mentions": bnd["count_all"].cast(pa.int64()),
                     "n_pages": pa.array(np.zeros(len(bnd), dtype=np.int64)),
                 }
@@ -167,7 +202,7 @@ def _compact(t: pa.Table) -> pa.Table:
     """Merge-combine a mixed partial table (associative)."""
     import pyarrow.compute as pc
 
-    null_url = pc.is_null(t["url"])
+    null_url = pc.is_null(t["page_key"])
     tiles_t = t.filter(null_url)
     bnd = t.filter(pc.invert(null_url))
     parts = []
@@ -180,20 +215,20 @@ def _compact(t: pa.Table) -> pa.Table:
                 {
                     "tx": g["tx"],
                     "ty": g["ty"],
-                    "url": pa.nulls(len(g), pa.string()),
+                    "page_key": pa.nulls(len(g), pa.int64()),
                     "n_mentions": g["n_mentions_sum"],
                     "n_pages": g["n_pages_sum"],
                 }
             )
         )
     if len(bnd):
-        g = bnd.group_by(["tx", "ty", "url"]).aggregate([("n_mentions", "sum")])
+        g = bnd.group_by(["tx", "ty", "page_key"]).aggregate([("n_mentions", "sum")])
         parts.append(
             pa.table(
                 {
                     "tx": g["tx"],
                     "ty": g["ty"],
-                    "url": g["url"],
+                    "page_key": g["page_key"],
                     "n_mentions": g["n_mentions_sum"],
                     "n_pages": pa.array(np.zeros(len(g), dtype=np.int64)),
                 }
@@ -208,8 +243,8 @@ def _finalize_rollup(acc: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     acc = _compact(acc)
-    # each surviving (tile, boundary-url) row is one page
-    null_url = pc.is_null(acc["url"])
+    # each surviving (tile, boundary-page) row is one page
+    null_url = pc.is_null(acc["page_key"])
     pages = pc.if_else(null_url, acc["n_pages"], pa.scalar(1, pa.int64()))
     t = pa.table(
         {
