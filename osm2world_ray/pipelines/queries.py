@@ -5127,49 +5127,50 @@ def q_style_materials(sf_dir: str):
     from ..functions.style import load_materials, resolve_material
 
     table = load_materials(_STYLE_CONFIG)
+    # resolve each of the 6 requested variants ONCE; batches then just
+    # index the tiny per-variant attribute arrays (no per-row Python)
+    vmats = [resolve_material(table, n) for n in _STYLE_NAMES]
+    v_found = np.array([m is not None for m in vmats], dtype=np.int64)
+    v_rgb = np.array(
+        [
+            -1 if m is None
+            else (m["color"][0] << 16) + (m["color"][1] << 8) + m["color"][2]
+            for m in vmats
+        ],
+        dtype=np.int64,
+    )
+    v_ds = np.array(
+        [-1 if m is None else m["double_sided"] for m in vmats], dtype=np.int64
+    )
+    v_interp = pa.array(
+        ["" if m is None else m["interpolation"] for m in vmats]
+    )
+    v_transp = pa.array(
+        ["" if m is None else m["transparency"] for m in vmats]
+    )
+    v_ntex = np.array(
+        [-1 if m is None else m["n_tex_groups"] for m in vmats], dtype=np.int64
+    )
+    v_names = pa.array(_STYLE_NAMES)
 
     def resolve(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         doc = batch["doc_id"].to_numpy().astype(np.int64)
-        sel = doc % 6
-        names = np.array(_STYLE_NAMES, dtype=object)[sel]
-        mats = [resolve_material(table, n) for n in names.tolist()]
-        found = np.array([m is not None for m in mats])
-        rgb = np.array(
-            [
-                -1 if m is None
-                else (m["color"][0] << 16) + (m["color"][1] << 8) + m["color"][2]
-                for m in mats
-            ],
-            dtype=np.int64,
+        sel = pa.array(doc % 6)
+        url = pc.binary_join_element_wise(
+            synth.URL_PREFIX, pc.cast(pa.array(doc), pa.string()), ""
         )
         return pa.table(
             {
-                "url": pa.array(
-                    [f"{synth.URL_PREFIX}{d}" for d in doc], type=pa.string()
-                ),
-                "req_name": pa.array(names, type=pa.string()),
-                "found": pa.array(found.astype(np.int64)),
-                "color_rgb": pa.array(rgb),
-                "double_sided": pa.array(
-                    np.array(
-                        [-1 if m is None else m["double_sided"] for m in mats],
-                        dtype=np.int64,
-                    )
-                ),
-                "interpolation": pa.array(
-                    ["" if m is None else m["interpolation"] for m in mats],
-                    type=pa.string(),
-                ),
-                "transparency": pa.array(
-                    ["" if m is None else m["transparency"] for m in mats],
-                    type=pa.string(),
-                ),
-                "n_tex_groups": pa.array(
-                    np.array(
-                        [-1 if m is None else m["n_tex_groups"] for m in mats],
-                        dtype=np.int64,
-                    )
-                ),
+                "url": url,
+                "req_name": v_names.take(sel),
+                "found": pa.array(v_found[doc % 6]),
+                "color_rgb": pa.array(v_rgb[doc % 6]),
+                "double_sided": pa.array(v_ds[doc % 6]),
+                "interpolation": v_interp.take(sel),
+                "transparency": v_transp.take(sel),
+                "n_tex_groups": pa.array(v_ntex[doc % 6]),
             }
         )
 
