@@ -159,18 +159,29 @@ def run_single_shuffle(sf_dir: str, num_cpus: int) -> dict:
             "docs_per_sec": round(docs / dt, 1), "num_cpus": num_cpus}
 
 
+def _child_json(mode: str, cpus: int) -> dict:
+    """Run a bench child process and parse its single JSON line,
+    surfacing stderr when the child fails instead of a bare
+    IndexError from an empty stdout."""
+    proc = subprocess.run(
+        [sys.executable, __file__, mode, "--cpus", str(cpus)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench child {mode} --cpus {cpus} failed "
+            f"(rc={proc.returncode}):\n{proc.stderr[-4000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def run_scaling_shuffle(sf_dir: str) -> dict:
     """--scaling on the sort-shuffle rollup path."""
     results = {}
     for cpus in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--single-shuffle",
-             "--cpus", str(cpus)],
-            capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        results[cpus] = _child_json("--single-shuffle", cpus)
     tp8 = results[8]["docs_per_sec"]
     tp32 = results[32]["docs_per_sec"]
     eff = (tp32 / tp8) / (32 / 8)
@@ -195,12 +206,7 @@ def run_scaling(sf_dir: str) -> dict:
     (the sandbox stand-in for N vs 4N nodes; see BASELINE.md)."""
     results = {}
     for cpus in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--single", "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        results[cpus] = _child_json("--single", cpus)
     tp8 = results[8]["docs_per_sec"]
     tp32 = results[32]["docs_per_sec"]
     eff = (tp32 / tp8) / (32 / 8)

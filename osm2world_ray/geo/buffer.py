@@ -112,8 +112,10 @@ def buffer_polygon_mitre(ring: np.ndarray, distance: float,
     pts = np.asarray(ring, dtype=np.float64)
     if len(pts) and np.array_equal(pts[0], pts[-1]):
         pts = pts[:-1]
-    if distance < 0 and not is_convex(pts):
+    if distance <= 0 and not is_convex(pts):
         # concave shrink: raw inward offset curve + winding selection
+        # (d == 0 included — buffer_convex_ring refuses concave input,
+        # shrink_polygon_mitre(pts, 0) returns the ring unchanged)
         return shrink_polygon_mitre(pts, distance, mitre_limit)
     if distance <= 0 or is_convex(pts):
         # exact closed form: the mitre buffer of a convex ring is the

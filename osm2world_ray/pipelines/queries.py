@@ -2013,6 +2013,44 @@ def q_equidistribute_points(sf_dir: str):
     )
 
 
+@register(
+    "equidistribute_points_mid",
+    f"""
+    WITH {synth.SEGMENTS_SQL},
+    params AS (
+      SELECT url, seg_idx, x1, y1, x2, y2,
+             sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) AS len
+      FROM segs
+    ),
+    p2 AS (
+      SELECT *, CAST(floor(len / {_EQD} + 0.5) AS BIGINT) AS nseg
+      FROM params
+    )
+    SELECT url, seg_idx, unnest(range(0, nseg)) AS point_idx,
+      CAST(floor((x1 + (unnest(range(0, nseg)) + 0.5) *
+            (((x2 - x1) / len) * (len / nseg))) * 1000000 + 0.5) AS BIGINT)
+        AS px_udeg,
+      CAST(floor((y1 + (unnest(range(0, nseg)) + 0.5) *
+            (((y2 - y1) / len) * (len / nseg))) * 1000000 + 0.5) AS BIGINT)
+        AS py_udeg
+    FROM p2 WHERE nseg > 0
+    """,
+)
+def q_equidistribute_points_mid(sf_dir: str):
+    """The ``pointsAtStartAndEnd=false`` variant
+    (GeometryUtil.java:562-571): numSegments points starting half a
+    step from the line start — closes the one partial row in
+    SURVEY §2.7."""
+    from ..stages.linework import equidistribute
+
+    return _segments_ds(sf_dir).map_batches(
+        lambda b: equidistribute(
+            b, preferred_distance=_EQD, points_at_start_and_end=False
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _scatter_sql() -> str:
     """The java.util.Random stream in closed form: S_n = (A_n*S_0 +
     C_n) mod 2^48 with the (A, C) pairs for every 4th step embedded as

@@ -363,10 +363,14 @@ def pairwise_aa_typed(group) -> pa.Table:
     cell_iy = col_np(group, "cell_iy", np.int64)[order]
     scale_row = np.ldexp(1.0, (cell >> 58).astype(np.int64))
     ii, jj, large = _candidate_pairs(cell)
+    chunks_i, chunks_j = [ii], [jj]
     for s, e in large:
         for I, J in _sweep_pair_chunks(minx, maxx, s, e):
-            ii = np.concatenate([ii, I])
-            jj = np.concatenate([jj, J])
+            chunks_i.append(I)
+            chunks_j.append(J)
+    if len(chunks_i) > 1:
+        ii = np.concatenate(chunks_i)
+        jj = np.concatenate(chunks_j)
     if len(ii) == 0:
         return empty
     # candidate filter: touching-or-overlapping bboxes, distinct areas

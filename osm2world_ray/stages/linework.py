@@ -105,9 +105,13 @@ def equidistribute(batch: pa.Table, *, preferred_distance: float,
     avoids it in the polyline variant (``GeometryUtil.java:643-648``);
     closed form is also what a SQL oracle can reproduce bit-for-bit.
     Outputs in micro-degrees.
+
+    ``points_at_start_and_end=False`` (``GeometryUtil.java:562-571``):
+    numSegments points, the first half a step from the start
+    (``lineStart.add(pointDiff.mult(0.5f))`` — halving is exact, so
+    closed form ``start + (i + 0.5) * step`` matches the reference's
+    accumulation for the same reordering-safety reason).
     """
-    if not points_at_start_and_end:
-        raise NotImplementedError("only the points-at-start-and-end variant")
     if len(batch) == 0:
         return pa.table(
             {
@@ -126,7 +130,10 @@ def equidistribute(batch: pa.Table, *, preferred_distance: float,
     dy = y1 - y2
     length = np.sqrt(dx * dx + dy * dy)
     nseg = np.floor(length / preferred_distance + 0.5).astype(np.int64)
-    npts = np.where(nseg == 0, 0, nseg + 1)
+    if points_at_start_and_end:
+        npts = np.where(nseg == 0, 0, nseg + 1)
+    else:
+        npts = nseg
     safe_len = np.where(length > 0, length, 1.0)
     point_distance = length / np.maximum(nseg, 1)
     ux = (x2 - x1) / safe_len * point_distance
@@ -136,8 +143,9 @@ def equidistribute(batch: pa.Table, *, preferred_distance: float,
     row_idx = np.repeat(np.arange(len(npts), dtype=np.int64), npts)
     starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
     local = np.arange(total, dtype=np.int64) - np.repeat(starts, npts)
-    px = x1[row_idx] + local * ux[row_idx]
-    py = y1[row_idx] + local * uy[row_idx]
+    offset = local if points_at_start_and_end else local + 0.5
+    px = x1[row_idx] + offset * ux[row_idx]
+    py = y1[row_idx] + offset * uy[row_idx]
     return pa.table(
         {
             "url": batch.select(["url"]).take(pa.array(row_idx))["url"],
