@@ -4757,7 +4757,9 @@ ORACLES["read_osm_xml"] = ORACLES["read_osm_json"]
 def q_read_osm_xml(sf_dir: str):
     """OSM XML (.osm fixture format, OSMFileReader path) reader with
     the identical entity model and summary output as read_osm_json —
-    the two dialect readers share one oracle, proving format parity."""
+    the two dialect readers share one oracle, proving format parity.
+    Shards are a .osm/.osm.gz/.osm.bz2 mix, exercising the
+    filename-suffix compression sniff (OSMStreamReader.java:55-66)."""
     import tempfile
 
     import pyarrow.parquet as pq_mod
@@ -4768,7 +4770,7 @@ def q_read_osm_xml(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )["doc_id"].to_numpy()
     out_dir = tempfile.mkdtemp(prefix="o2w_xml_", dir="/tmp")
-    paths = write_synth_xml_shards(doc_ids, out_dir)
+    paths = write_synth_xml_shards(doc_ids, out_dir, compress_mix=True)
     return read_osm_xml(paths)
 
 

@@ -14,6 +14,8 @@ row, so the driver query shares the JSON query's oracle verbatim.
 
 from __future__ import annotations
 
+import bz2
+import gzip
 import os
 import xml.etree.ElementTree as ET
 
@@ -21,6 +23,27 @@ import numpy as np
 import pyarrow as pa
 
 from . import synth
+
+
+def sniff_decompress(path: str, buf: bytes) -> bytes:
+    """Filename-suffix compression sniffing, the
+    ``CompressionMethod.fromFileName`` rule
+    (``core-jvm/.../OSMStreamReader.java:55-66``): ``.gz`` -> gzip,
+    ``.bz2`` -> bzip2, else raw. (The reference enum also names
+    ``.pbf``, routed to ``sources/osm_pbf.py`` here; and its stream
+    path actually *throws* NotImplementedException for gz/bz2 — we
+    decode them.)
+
+    Magic-byte guarded: Ray's ``read_binary_files`` (pyarrow
+    ``compression='detect'``) already inflates by extension, so on
+    that path the payload arrives decompressed — decode only when the
+    codec magic is actually present."""
+    buf = bytes(buf)
+    if path.endswith(".gz") and buf[:2] == b"\x1f\x8b":
+        return gzip.decompress(buf)
+    if path.endswith(".bz2") and buf[:3] == b"BZh":
+        return bz2.decompress(buf)
+    return buf
 
 
 def parse_osm_xml(text: str):
@@ -75,9 +98,13 @@ def parse_osm_bounds(text: str):
 
 
 def write_synth_xml_shards(doc_ids: np.ndarray, out_dir: str,
-                           docs_per_shard: int = 256) -> list[str]:
+                           docs_per_shard: int = 256,
+                           compress_mix: bool = False) -> list[str]:
     """Same synthetic entity model as the JSON shards, as .osm XML.
-    Floats are serialized with ``repr`` so they round-trip bit-exactly."""
+    Floats are serialized with ``repr`` so they round-trip bit-exactly.
+    With ``compress_mix``, every 3rd shard is gzipped (``.osm.gz``) and
+    every 7th bzip2'd (``.osm.bz2``) to exercise the suffix-sniffing
+    read path with the same logical content."""
     os.makedirs(out_dir, exist_ok=True)
     doc_ids = np.sort(np.asarray(doc_ids, dtype=np.int64))
     paths = []
@@ -112,9 +139,17 @@ def write_synth_xml_shards(doc_ids: np.ndarray, out_dir: str,
                     '<tag k="type" v="multipolygon"/></relation>'
                 )
         lines.append("</osm>")
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
         p = os.path.join(out_dir, f"shard-{s:04d}.osm")
-        with open(p, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        if compress_mix and s % 7 == 1:
+            p += ".bz2"
+            payload = bz2.compress(payload)
+        elif compress_mix and s % 3 == 1:
+            p += ".gz"
+            # mtime=0: deterministic bytes across runs
+            payload = gzip.compress(payload, mtime=0)
+        with open(p, "wb") as f:
+            f.write(payload)
         paths.append(p)
     return paths
 
@@ -125,8 +160,11 @@ class OsmXmlParse:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls, nn, nw, nm, sl = [], [], [], [], []
-        for buf in batch["bytes"].to_pylist():
-            nodes, ways, relations = parse_osm_xml(buf.decode("utf-8"))
+        pth = (batch["path"].to_pylist() if "path" in batch.column_names
+               else [""] * len(batch))
+        for path, buf in zip(pth, batch["bytes"].to_pylist()):
+            raw = sniff_decompress(path, buf)
+            nodes, ways, relations = parse_osm_xml(raw.decode("utf-8"))
             per_doc: dict[int, list[int]] = {}
             for nid, lat, _lon, _t in nodes:
                 d = nid // 4
@@ -158,7 +196,7 @@ class OsmXmlParse:
 def read_osm_xml(paths: list[str]):
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths)
+    ds = rd.read_binary_files(paths, include_paths=True)
     return ds.map_batches(
         OsmXmlParse,
         batch_format="pyarrow",

@@ -115,3 +115,23 @@ def test_xml_fault_semantics():
         '<osm version="0.6"><bounds minlat="0" minlon="0" maxlat="1" maxlon="1"/></osm>'
     )
     assert (n, w, r) == ([], [], [])
+
+
+def test_xml_compressed_shard_parity(tmp_path):
+    """Suffix-sniffed gz/bz2 shards (OSMStreamReader.java:55-66 rule)
+    decode to the exact same entities as the uncompressed write."""
+    import numpy as np
+    from osm2world_ray.sources.osm_xml import (
+        parse_osm_xml, sniff_decompress, write_synth_xml_shards)
+
+    ids = np.arange(40, dtype=np.int64)
+    plain = write_synth_xml_shards(ids, str(tmp_path / "p"), docs_per_shard=5)
+    mixed = write_synth_xml_shards(ids, str(tmp_path / "m"), docs_per_shard=5,
+                                   compress_mix=True)
+    suffixes = {p.rsplit("shard", 1)[1] for p in mixed}
+    assert any(s.endswith(".gz") for s in suffixes)
+    assert any(s.endswith(".bz2") for s in suffixes)
+    for pp, mp in zip(plain, mixed):
+        raw = sniff_decompress(mp, open(mp, "rb").read())
+        assert raw == open(pp, "rb").read()
+        parse_osm_xml(raw.decode("utf-8"))  # well-formed after decode
