@@ -1416,7 +1416,7 @@ def q_fingerprint_rolling(sf_dir: str):
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
-        Fingerprint, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+        Fingerprint, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
     )
 
 

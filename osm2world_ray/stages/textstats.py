@@ -137,20 +137,33 @@ class Fingerprint:
     primitive, :mod:`osm2world_ray.functions.polyhash`) — vectorized
     over the byte matrix and bit-identical to the SQL oracle's
     char-sum formula.
+
+    Arrow-native: md5 is inherently per-row, but the loop runs over
+    zero-copy memoryview slices of the Arrow string column's single
+    utf-8 data buffer — no per-row str decode/encode, no Series.map
+    dispatch.
     """
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-
+    def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions import polyhash as ph
 
-        texts = batch["text"]
-        md5s = texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
-        hh = ph.head_hash(pa.array(texts.to_numpy(), type=pa.string()))
-        return pd.DataFrame(
+        texts = batch["text"].combine_chunks()
+        hh = ph.head_hash(texts)
+        # [validity, offsets, data]; offsets are relative to arr.offset
+        bufs = texts.buffers()
+        width = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=width)[
+            texts.offset:texts.offset + len(texts) + 1
+        ]
+        mv = memoryview(bufs[2])
+        md5s = [
+            hashlib.md5(mv[s:e]).hexdigest()
+            for s, e in zip(offs[:-1].tolist(), offs[1:].tolist())
+        ]
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "md5": md5s,
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "md5": pa.array(md5s, type=pa.string()),
                 "head_hash": hh,
             }
         )
