@@ -938,7 +938,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
     cands = bands.groupby("bucket").map_groups(
-        lsh_candidate_pairs, batch_format="pandas"
+        lsh_candidate_pairs, batch_format="pyarrow"
     )
 
     def sh_ds():
@@ -946,91 +946,70 @@ def q_dedup_minhash_lsh(sf_dir: str):
             ShingleHashes, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
         )
 
-    _EMPTY_SH = np.empty(0, dtype=np.int64)
+    _SH_TYPE = pa.list_(pa.int64())
 
-    def pair_rows(side: str):
-        def fn(df):
-            import pandas as pd
+    def _empty_lists(n: int) -> pa.Array:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32)),
+            pa.array([], type=pa.int64()),
+        )
 
-            out = df.copy()
-            out["kind"] = np.int64(0)
-            out["sh"] = pd.Series(
-                [_EMPTY_SH] * len(df), index=df.index, dtype=object
+    def _i64(col) -> pa.Array:
+        return col.combine_chunks().cast(pa.int64())
+
+    # union sides are built column-by-column so both carry the exact
+    # same Arrow schema (doc_a, doc_b[, a_sh], kind, sh, bucket) —
+    # shingle sets stay list<int64> through the shuffles (no pandas
+    # object columns, schema-stable empties).
+    def pair_rows(side: str, with_a_sh: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {
+                "doc_a": _i64(b["doc_a"]),
+                "doc_b": _i64(b["doc_b"]),
+            }
+            if with_a_sh:
+                cols["a_sh"] = b["a_sh"].combine_chunks().cast(_SH_TYPE)
+            cols["kind"] = pa.array(np.zeros(n, dtype=np.int64))
+            cols["sh"] = _empty_lists(n)
+            cols["bucket"] = pa.array(
+                overlaps.bucket_of(_i64(b[side]).to_numpy())
             )
-            out["bucket"] = overlaps.bucket_of(df[side].to_numpy(dtype=np.int64))
-            return out
+            return pa.table(cols)
 
         return fn
 
-    def shingle_rows(df):
-        import pandas as pd
-
-        out = pd.DataFrame(
-            {
-                "doc_a": df["doc_id"].astype(np.int64),
-                "doc_b": np.full(len(df), -1, dtype=np.int64),
-                "kind": np.ones(len(df), dtype=np.int64),
-                "sh": df["sh"],
-                "bucket": overlaps.bucket_of(df["doc_id"].to_numpy(dtype=np.int64)),
+    def shingle_rows(with_a_sh: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            doc = _i64(b["doc_id"])
+            cols = {
+                "doc_a": doc,
+                "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
             }
-        )
-        return out
+            if with_a_sh:
+                cols["a_sh"] = _empty_lists(n)
+            cols["kind"] = pa.array(np.ones(n, dtype=np.int64))
+            cols["sh"] = b["sh"].combine_chunks().cast(_SH_TYPE)
+            cols["bucket"] = pa.array(overlaps.bucket_of(doc.to_numpy()))
+            return pa.table(cols)
 
-    def conform(df, cols):
-        return df[cols]
+        return fn
 
-    cols1 = ["doc_a", "doc_b", "kind", "sh", "bucket"]
-    j1 = (
-        cands.map_batches(pair_rows("doc_a"), batch_format="pandas")
-        .map_batches(lambda d: conform(d, cols1), batch_format="pandas")
-        .union(
-            sh_ds()
-            .map_batches(shingle_rows, batch_format="pandas")
-            .map_batches(lambda d: conform(d, cols1), batch_format="pandas")
-        )
-    )
+    j1 = cands.map_batches(
+        pair_rows("doc_a", False), batch_format="pyarrow"
+    ).union(sh_ds().map_batches(shingle_rows(False), batch_format="pyarrow"))
     att1 = j1.groupby("bucket").map_groups(
-        lambda g: attach_shingles(g, "doc_a", "a_sh"), batch_format="pandas"
+        lambda g: attach_shingles(g, "doc_a", "a_sh"), batch_format="pyarrow"
     )
-
-    def pair_rows2(df):
-        import pandas as pd
-
-        out = df.copy()
-        out["kind"] = np.int64(0)
-        out["sh"] = pd.Series([_EMPTY_SH] * len(df), index=df.index, dtype=object)
-        out["bucket"] = overlaps.bucket_of(df["doc_b"].to_numpy(dtype=np.int64))
-        return out
-
-    def shingle_rows2(df):
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "doc_a": df["doc_id"].astype(np.int64),
-                "doc_b": np.full(len(df), -1, dtype=np.int64),
-                "a_sh": pd.Series([_EMPTY_SH] * len(df), dtype=object),
-                "kind": np.ones(len(df), dtype=np.int64),
-                "sh": df["sh"],
-                "bucket": overlaps.bucket_of(df["doc_id"].to_numpy(dtype=np.int64)),
-            }
-        )
-
-    cols2 = ["doc_a", "doc_b", "a_sh", "kind", "sh", "bucket"]
-    j2 = (
-        att1.map_batches(pair_rows2, batch_format="pandas")
-        .map_batches(lambda d: conform(d, cols2), batch_format="pandas")
-        .union(
-            sh_ds()
-            .map_batches(shingle_rows2, batch_format="pandas")
-            .map_batches(lambda d: conform(d, cols2), batch_format="pandas")
-        )
-    )
+    j2 = att1.map_batches(
+        pair_rows("doc_b", True), batch_format="pyarrow"
+    ).union(sh_ds().map_batches(shingle_rows(True), batch_format="pyarrow"))
     att2 = j2.groupby("bucket").map_groups(
-        lambda g: attach_shingles(g, "doc_b", "b_sh"), batch_format="pandas"
+        lambda g: attach_shingles(g, "doc_b", "b_sh"), batch_format="pyarrow"
     )
     return att2.map_batches(
-        lambda g: verify_pairs(g, threshold=0.8), batch_format="pandas"
+        lambda g: verify_pairs(g, threshold=0.8), batch_format="pyarrow"
     )
 
 

@@ -138,28 +138,40 @@ class MinHashStage:
         )
 
 
-def lsh_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+_EMPTY_PAIRS = pa.table(
+    {
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def lsh_candidate_pairs(group) -> pa.Table:
     """Bucket of LSH band rows -> ordered candidate pairs, deduped by
     FIRST-MATCHING-BAND ownership: the pair (a, b) is emitted only from
     the band with the smallest index on which bhs_a == bhs_b. Each pair
     therefore leaves exactly one bucket — the cross-band dedup needs no
     extra shuffle (ownership-point precedent:
     ``stages/overlaps.py`` min-corner rule; ``SpatialIndex.java:30-43``).
-    """
-    from .overlaps import _within_group_pairs
 
-    empty = pd.DataFrame(
-        {
-            "doc_a": pd.Series(dtype=np.int64),
-            "doc_b": pd.Series(dtype=np.int64),
-        }
-    )
+    Arrow-in/Arrow-out (schema-stable empties); accepts a pandas frame
+    too for the pytest reference path.
+    """
+    from .overlaps import _within_group_pairs, col_np
+
+    empty = _EMPTY_PAIRS
     if len(group) < 2:
         return empty
-    band = group["band"].to_numpy(dtype=np.int64)
-    bh = group["band_hash"].to_numpy(dtype=np.int64)
-    doc = group["doc_id"].to_numpy(dtype=np.int64)
-    bhs = np.stack(group["bhs"].to_numpy())  # (n, 8)
+    band = col_np(group, "band", np.int64)
+    bh = col_np(group, "band_hash", np.int64)
+    doc = col_np(group, "doc_id", np.int64)
+    if isinstance(group, pa.Table):
+        bhs = (
+            group["bhs"].combine_chunks().flatten()
+            .to_numpy().reshape(len(group), N_BANDS)
+        )
+    else:
+        bhs = np.stack(group["bhs"].to_numpy())  # (n, 8)
     order = np.lexsort((doc, bh, band))
     band, bh, doc, bhs = band[order], bh[order], doc[order], bhs[order]
     key_change = np.ones(len(doc), dtype=bool)
@@ -175,7 +187,7 @@ def lsh_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     a, b = doc[ii], doc[jj]
     swap = a > b
     a, b = np.where(swap, b, a), np.where(swap, a, b)
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+    return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
 
 class ShingleHashes:
@@ -198,58 +210,101 @@ class ShingleHashes:
         )
 
 
-def attach_shingles(group: pd.DataFrame, side: str, out_col: str) -> pd.DataFrame:
+def attach_shingles(group, side: str, out_col: str) -> pa.Table:
     """One bucket of (candidate-pair rows, kind=0) + (shingle rows,
     kind=1) co-shuffled on ``bucket_of(pair[side]) == bucket_of(doc_id)``
-    -> pair rows with ``out_col`` = that side's shingle array. This is
+    -> pair rows with ``out_col`` = that side's shingle list. This is
     the scale-safe replacement for broadcasting the corpus: each bucket
-    sees only its own docs' shingle sets."""
-    kind = group["kind"].to_numpy()
-    sh_rows = group[kind == 1]
-    pairs = group[kind == 0]
-    out = pairs.drop(columns=["kind", "bucket", "sh"]).copy()
-    empty_sh = np.empty(0, dtype=np.int64)
-    if len(pairs) == 0:
-        out[out_col] = pd.Series(dtype=object)
-        return out
-    lut = dict(zip(sh_rows["doc_a"].to_numpy(), sh_rows["sh"].to_numpy()))
-    out[out_col] = pd.Series(
-        [np.asarray(lut.get(d, empty_sh), dtype=np.int64)
-         for d in pairs[side].to_numpy()],
-        index=out.index,
-        dtype=object,
+    sees only its own docs' shingle sets.
+
+    Arrow-native: the shingle sets stay a ``list<int64>`` column end to
+    end — the lookup is a searchsorted into the bucket's shingle rows
+    plus one Arrow ``take`` on the list column (unmatched sides get an
+    empty-list sentinel row, never a null schema)."""
+    from .overlaps import col_np
+
+    if not isinstance(group, pa.Table):
+        group = pa.Table.from_pandas(group, preserve_index=False)
+    group = group.combine_chunks()
+    kind = col_np(group, "kind", np.int64)
+    pair_idx = np.nonzero(kind == 0)[0]
+    sh_idx = np.nonzero(kind == 1)[0]
+    keep_cols = [c for c in group.column_names
+                 if c not in ("kind", "bucket", "sh")]
+    pairs = group.select(keep_cols).take(pa.array(pair_idx))
+    sh_col = group["sh"].combine_chunks()
+    if len(pair_idx) == 0:
+        return pairs.append_column(out_col, pa.array([], type=sh_col.type))
+    # shingle rows carry their doc id in doc_a
+    sh_docs = col_np(group, "doc_a", np.int64)[sh_idx]
+    order = np.argsort(sh_docs)
+    sh_sorted = sh_docs[order]
+    want = col_np(group, side, np.int64)[pair_idx]
+    pos = np.searchsorted(sh_sorted, want)
+    pos = np.clip(pos, 0, max(len(sh_sorted) - 1, 0))
+    found = sh_sorted[pos] == want if len(sh_sorted) else np.zeros(
+        len(want), dtype=bool)
+    src = sh_idx[order][pos] if len(sh_sorted) else np.zeros(
+        len(want), dtype=np.int64)
+    # empty-list sentinel appended at index len(group)
+    ext = pa.concat_arrays(
+        [sh_col, pa.array([[]], type=sh_col.type)]
     )
-    return out
+    src = np.where(found, src, len(group))
+    return pairs.append_column(out_col, ext.take(pa.array(src)))
 
 
-def verify_pairs(group: pd.DataFrame, *, threshold: float) -> pd.DataFrame:
-    """Pair rows carrying both shingle arrays -> exact Jaccard filter
-    (over the distinct shingle-hash sets, matching the SQL oracle)."""
-    out = {
-        "doc_a": [],
-        "doc_b": [],
-        "jaccard_mil": [],
-    }
-    for da, db, a_sh, b_sh in zip(
-        group["doc_a"].to_numpy(),
-        group["doc_b"].to_numpy(),
-        group["a_sh"].to_numpy(),
-        group["b_sh"].to_numpy(),
-    ):
-        if a_sh is None or b_sh is None or len(a_sh) == 0 or len(b_sh) == 0:
-            continue
-        inter = np.intersect1d(a_sh, b_sh, assume_unique=True).size
-        union = len(a_sh) + len(b_sh) - inter
-        jac = inter / union if union else 1.0
-        if jac >= threshold:
-            out["doc_a"].append(int(da))
-            out["doc_b"].append(int(db))
-            out["jaccard_mil"].append(int(np.floor(jac * 1000 + 0.5)))
-    return pd.DataFrame(
+def verify_pairs(group, *, threshold: float) -> pa.Table:
+    """Pair rows carrying both shingle lists -> exact Jaccard filter
+    (over the distinct shingle-hash sets, matching the SQL oracle).
+
+    Vectorized set intersection: each side's lists hold sorted DISTINCT
+    31-bit hashes, so packing ``(pair_row << 31) | hash`` for both
+    sides and counting duplicate keys in one sort gives every pair's
+    intersection size with no per-row Python."""
+    import pyarrow.compute as pc
+
+    from .overlaps import col_np
+
+    empty = pa.table(
         {
-            "doc_a": pd.Series(out["doc_a"], dtype=np.int64),
-            "doc_b": pd.Series(out["doc_b"], dtype=np.int64),
-            "jaccard_mil": pd.Series(out["jaccard_mil"], dtype=np.int64),
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard_mil": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(group) == 0:
+        return empty
+    if not isinstance(group, pa.Table):
+        group = pa.Table.from_pandas(group, preserve_index=False)
+    a = group["a_sh"].combine_chunks()
+    b = group["b_sh"].combine_chunks()
+    na = pc.list_value_length(a).fill_null(0).to_numpy().astype(np.int64)
+    nb = pc.list_value_length(b).fill_null(0).to_numpy().astype(np.int64)
+    rows = np.nonzero((na > 0) & (nb > 0))[0]
+    if len(rows) == 0:
+        return empty
+    take = pa.array(rows)
+    fa = a.take(take).flatten().to_numpy().astype(np.int64)
+    fb = b.take(take).flatten().to_numpy().astype(np.int64)
+    na, nb = na[rows], nb[rows]
+    m = len(rows)
+    ra = np.repeat(np.arange(m, dtype=np.int64), na)
+    rb = np.repeat(np.arange(m, dtype=np.int64), nb)
+    keys = np.concatenate(((ra << 31) | fa, (rb << 31) | fb))
+    keys.sort()
+    dup = keys[1:][keys[1:] == keys[:-1]]
+    inter = np.bincount((dup >> 31), minlength=m)
+    union = na + nb - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(col_np(group, "doc_a", np.int64)[rows][keep]),
+            "doc_b": pa.array(col_np(group, "doc_b", np.int64)[rows][keep]),
+            "jaccard_mil": pa.array(
+                np.floor(jac[keep] * 1000 + 0.5).astype(np.int64)
+            ),
         }
     )
 

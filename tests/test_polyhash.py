@@ -106,7 +106,7 @@ def test_lsh_first_band_ownership_dedup():
                 }
             )
     g = pd.DataFrame(rows)
-    out = dd.lsh_candidate_pairs(g)
+    out = dd.lsh_candidate_pairs(g).to_pandas()
     pairs = list(zip(out["doc_a"], out["doc_b"]))
     assert pairs.count((0, 1)) == 1  # agree on all 8 bands -> once
     assert (0, 2) not in pairs and (1, 2) not in pairs
