@@ -21,6 +21,48 @@ def mentions_ds(sf_dir: str, *, repeat: int = 1,
     return extract_mentions(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)
 
 
+def mentions_spilled_ds(sf_dir: str):
+    """Extract mentions ONCE per input fingerprint, checkpoint them to
+    partitioned Parquet under /tmp, and return a LAZY read over the
+    checkpoint.
+
+    Queries that consume mentions twice (count pre-pass + join; node
+    rows + pairwise edges) previously ``.materialize()``d the derived
+    table — that pins a corpus-linear table in the object store at
+    100 TB scale. Spilling to Parquet keeps both passes streaming:
+    the second pass re-reads from disk with column pruning instead of
+    holding every block pinned. The lineage key is
+    ``checkpoint.input_fingerprint`` (source parquet name/size/mtime),
+    so repeated queries in one session — and re-runs — share the spill
+    (the Scene.meshStoreCache reuse precedent, ``Scene.java:30-31``,
+    moved out of memory)."""
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    from ..state.checkpoint import input_fingerprint
+
+    root = "/tmp/o2w_mentions"
+    key = input_fingerprint(sf_dir)
+    final = os.path.join(root, key)
+    marker = final + ".done"
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        if os.path.isdir(final):  # crashed writer left a bare dir
+            shutil.rmtree(final, ignore_errors=True)
+        tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex}")
+        mentions_ds(sf_dir).write_parquet(tmp)
+        try:
+            os.rename(tmp, final)
+            with open(marker, "w") as f:
+                f.write(key)
+        except OSError:  # lost a rename race; the winner's spill is equal
+            shutil.rmtree(tmp, ignore_errors=True)
+    return rd.read_parquet(final)
+
+
 def texts_ds(sf_dir: str, *, repeat: int = 1,
              concurrency: int | tuple[int, int] = (1, 32)):
     """pages -> re-extracted text (url, text, lang, error)."""

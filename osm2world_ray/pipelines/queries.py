@@ -2270,8 +2270,8 @@ def q_overlap_components(sf_dir: str):
     from ..stages.components import connected_components
 
     # nodes and the pairwise edge join share the mentions scan —
-    # materialize the small extracted table once
-    ds = datasets.mentions_ds(sf_dir).materialize()
+    # checkpoint the extraction once, stream both passes from disk
+    ds = datasets.mentions_spilled_ds(sf_dir)
 
     def to_nodes(b: pa.Table) -> pa.Table:
         doc = pa.compute.utf8_slice_codeunits(
@@ -2345,10 +2345,10 @@ def q_overlap_pairs_salted(sf_dir: str):
     from ..stages import overlaps
 
     # two passes (count pre-pass + join) read the same mentions:
-    # materialize the SMALL extracted table once instead of re-running
-    # HTML extraction (the Scene.meshStoreCache reuse precedent,
-    # Scene.java:30-31; mentions carry no html payloads)
-    ds = datasets.mentions_ds(sf_dir).materialize()
+    # checkpoint the extraction to Parquet once instead of re-running
+    # HTML extraction or pinning the table in the object store
+    # (Scene.meshStoreCache precedent, Scene.java:30-31, spilled)
+    ds = datasets.mentions_spilled_ds(sf_dir)
     # threshold sized so the clustered cells refine at test scales; at
     # production scale tie it to the per-task pairwise budget (rows
     # whose n^2 exceeds the time budget of one shuffle task)
@@ -4323,7 +4323,7 @@ def q_enforce_ele(sf_dir: str):
     from ..stages.components import connected_components
     from ..stages.raster import IDWInterpolate
 
-    ds = datasets.mentions_ds(sf_dir).materialize()
+    ds = datasets.mentions_spilled_ds(sf_dir)
 
     def to_nodes(b: pa.Table) -> pa.Table:
         doc = pc.utf8_slice_codeunits(
