@@ -1653,6 +1653,74 @@ def q_mm_frame_sample(sf_dir: str):
 # resumable partitioned export (checkpoint + lineage + metrics)
 # ---------------------------------------------------------------------------
 
+def _tileset_sql() -> str:
+    from ..state.tileset import CLIP_SCALE, TARGET_LOD
+
+    def merc_y(lat_expr: str) -> str:
+        return (
+            f"(1.0 - ln(tan(radians({lat_expr})) + 1.0/cos(radians({lat_expr})))"
+            f"/pi()) / 2.0 * 8192"
+        )
+
+    def snap(expr: str) -> str:
+        return f"CAST(floor(({expr}) * {CLIP_SCALE} + 0.5) AS BIGINT)"
+
+    return f"""
+    WITH {synth.MENTIONS_SQL},
+    lod AS (
+      SELECT *, (doc_id * 4 + mention_idx) % 3 AS lod_min,
+             (doc_id * 4 + mention_idx) % 3 + 1
+               + (doc_id * 4 + mention_idx) % 2 AS lod_max
+      FROM mentions
+    ),
+    fan AS (
+      SELECT url, mention_idx, kind, lat, lon, tx,
+             unnest(range(ty0, ty1 + 1)) AS ty
+      FROM (
+        SELECT url, mention_idx, kind, lat, lon,
+               unnest(range({synth.sql_tx(f'lon - {synth.RLON}', 13)},
+                            {synth.sql_tx(f'lon + {synth.RLON}', 13)} + 1)) AS tx,
+               {synth.sql_ty(f'lat + {synth.RLAT}', 13)} AS ty0,
+               {synth.sql_ty(f'lat - {synth.RLAT}', 13)} AS ty1
+        FROM lod
+        WHERE lod_min <= {TARGET_LOD} AND {TARGET_LOD} <= lod_max
+      )
+    ),
+    clipped AS (
+      SELECT url, kind, tx // 128 AS px, ty // 128 AS py,
+        {snap(f"greatest((lon - {synth.RLON} + 180.0)/360.0*8192, tx)")} AS cx0,
+        {snap(f"greatest({merc_y(f'lat + {synth.RLAT}')}, ty)")} AS cy0,
+        {snap(f"least((lon + {synth.RLON} + 180.0)/360.0*8192, tx + 1)")} AS cx1,
+        {snap(f"least({merc_y(f'lat - {synth.RLAT}')}, ty + 1)")} AS cy1
+      FROM fan
+    )
+    SELECT CAST(6 AS BIGINT) AS pz, px, py,
+           count(*) AS n_rows,
+           count(DISTINCT url) AS n_urls,
+           count(DISTINCT kind) AS n_meshes,
+           CAST(2 * count(*) AS BIGINT) AS n_tris,
+           CAST(sum(cx0 + cy0 + cx1 + cy1) AS BIGINT) AS clip_sum
+    FROM clipped GROUP BY 1, 2, 3
+    """
+
+
+@register("tileset_export", _tileset_sql())
+def q_tileset_export(sf_dir: str):
+    """Tile-farm capstone (FrontendPbfOutput + TilesetOutput composed):
+    fused tilesForBounds fan-out + FilterLod + ClipToBounds, ONE
+    bounded partition shuffle, atomic per-tile parquet artifacts with
+    manifests, and a root tileset.json — per-partition metrics as the
+    result (FrontendPbfOutput.java:274,716-725;
+    TilesetCommand.java:205-246). Fresh scratch dir per invocation;
+    resume covered by tests/test_tileset.py."""
+    import tempfile
+
+    from ..state.tileset import tileset_export
+
+    out_dir = tempfile.mkdtemp(prefix="o2w_tileset_", dir="/tmp")
+    return tileset_export(sf_dir, out_dir)
+
+
 @register(
     "checkpoint_export",
     f"""

@@ -109,7 +109,9 @@ class PartitionWriter:
         #: primitiveThresholdPerFile); None = single file per partition
         self.rows_per_file = rows_per_file
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, group) -> pa.Table:
+        if isinstance(group, pa.Table):
+            group = group.to_pandas()
         t0 = time.perf_counter()
         pz = int(group["pz"].iloc[0])
         px = int(group["px"].iloc[0])
@@ -151,13 +153,13 @@ class PartitionWriter:
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
         os.replace(mtmp, os.path.join(pdir, "manifest.json"))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "pz": [np.int64(pz)],
-                "px": [np.int64(px)],
-                "py": [np.int64(py)],
-                "rows": [np.int64(len(data))],
-                "n_urls": [np.int64(n_urls)],
+                "pz": pa.array([pz], type=pa.int64()),
+                "px": pa.array([px], type=pa.int64()),
+                "py": pa.array([py], type=pa.int64()),
+                "rows": pa.array([len(data)], type=pa.int64()),
+                "n_urls": pa.array([n_urls], type=pa.int64()),
             }
         )
 
@@ -221,7 +223,7 @@ def checkpointed_tile_export(sf_dir: str, out_dir: str, *, zoom: int = 13,
     )
     # map_groups wants a plain function (it reads fn.__name__)
     return ds.groupby(["pz", "px", "py"]).map_groups(
-        lambda g: writer(g), batch_format="pandas"
+        lambda g: writer(g), batch_format="pyarrow"
     )
 
 
