@@ -2576,6 +2576,93 @@ def _tag_case(col: int) -> str:
     return f"CASE {synth.sql_tag_variant()} {arms} END"
 
 
+#: HAND-DERIVED expectations for synth.ROAD_TAG_VARIANTS (one row per
+#: variant, worked out from RoadModule.java's rules on paper — NOT by
+#: running the engine): (highway, lane_count, lanes_right, lanes_left,
+#: oneway, width_um). Width chains per variant:
+#:  0 residential: guess 4.0 | 1 motorway: 2.5f*3.5 + dashed 0.1f
+#:  2 lanes=4: 4*3.5+3*0.1f   | 3 2f/1b: 3*3.5+2*0.1f
+#:  4 lanes=2: 2*3.5+0.1f     | 5 path est 1.0 | 6 track est 2.5
+#:  7 parking_aisle 3.5*0.8   | 8 sidewalks: 0.1f+2*(0.15f+1)+4
+#:  9 explicit width=6.5      | 10 divider: 2*3.5+0.1f
+#: 11 unmarked lanes=3: 3*3.5 | 12 link oneway est 3.5 | 13 path 1.0
+_ROAD_EXPECT = [
+    ("residential", 1, 1, 0, 0, 4000000),
+    ("motorway", 2, 1, 1, 1, 8850000),
+    ("primary", 4, 2, 2, 0, 14300000),
+    ("primary", 3, 2, 1, 0, 10700000),
+    ("secondary", 2, 1, 1, 1, 7100000),
+    ("path", 1, 1, 0, 0, 1000000),
+    ("track", 1, 1, 0, 0, 2500000),
+    ("service", 1, 1, 0, 0, 2800000),
+    ("tertiary", 2, 1, 1, 0, 6400000),
+    ("residential", 1, 1, 0, 0, 6500000),
+    ("unclassified", 2, 1, 1, 0, 7100000),
+    ("residential", 3, 2, 1, 0, 10500000),
+    ("motorway_link", 1, 1, 0, 1, 3500000),
+    ("cycleway", 1, 1, 0, 0, 1000000),
+]
+
+
+def _road_lanes_sql() -> str:
+    cols = ["highway", "lane_count", "lanes_right", "lanes_left",
+            "oneway", "width_um"]
+
+    def case(ci: int) -> str:
+        arms = " ".join(
+            f"WHEN {v} THEN "
+            + (f"'{row[ci]}'" if ci == 0 else str(row[ci]))
+            for v, row in enumerate(_ROAD_EXPECT)
+        )
+        return f"CASE {synth.sql_road_variant()} {arms} END AS {cols[ci]}"
+
+    selects = ",\n           ".join(case(i) for i in range(len(cols)))
+    return f"""
+    WITH {synth.MENTIONS_SQL}
+    SELECT url, mention_idx,
+           {selects}
+    FROM mentions
+    """
+
+
+@register("road_lanes", _road_lanes_sql())
+def q_road_lanes(sf_dir: str):
+    """RoadModule as a data operator: per classified road way, the
+    vehicle lane-count resolution, driving-side split, oneway flag and
+    the calculateWidth chain (RoadModule.java:856-925, 1190-1295) —
+    general tag-driven derivation in functions/roads.py, applied via
+    per-variant precomputation + tiny-array indexing (style_materials
+    precedent). The oracle hardcodes hand-derived expectations per tag
+    variant (RoadModuleTest precedent)."""
+    from ..functions import roads
+
+    derived = [roads.derive_road(s) for s in synth.ROAD_TAG_VARIANTS]
+    hwy = np.array([d[0] for d in derived], dtype=object)
+    ints = np.array([d[1:] for d in derived], dtype=np.int64)  # (V, 5)
+
+    def derive(b: pa.Table) -> pa.Table:
+        from ..stages.overlaps import doc_ids_of
+
+        doc = doc_ids_of(b)
+        rv = synth.road_tag_variant(doc, b["mention_idx"].to_numpy())
+        return pa.table(
+            {
+                "url": b["url"],
+                "mention_idx": b["mention_idx"],
+                "highway": pa.array(hwy[rv], type=pa.string()),
+                "lane_count": pa.array(ints[rv, 0]),
+                "lanes_right": pa.array(ints[rv, 1]),
+                "lanes_left": pa.array(ints[rv, 2]),
+                "oneway": pa.array(ints[rv, 3]),
+                "width_um": pa.array(ints[rv, 4]),
+            }
+        )
+
+    return datasets.mentions_ds(sf_dir).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+
 @register(
     "classify_tags",
     f"""

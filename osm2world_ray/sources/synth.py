@@ -116,6 +116,37 @@ def mention_tag_variant(doc_id: np.ndarray, j: np.ndarray) -> np.ndarray:
     ) % len(TAG_VARIANTS)
 
 
+#: road-way tag variants exercising the RoadModule lane/width chain
+#: (lanes resolution, dividers, unmarked surfaces, sidewalks/cycleways,
+#: explicit width, per-class estimates)
+ROAD_TAG_VARIANTS: list[str] = [
+    "highway=residential",
+    "highway=motorway",
+    "highway=primary;lanes=4",
+    "highway=primary;lanes:forward=2;lanes:backward=1",
+    "highway=secondary;lanes=2;oneway=yes",
+    "highway=path",
+    "highway=track;surface=gravel",
+    "highway=service;service=parking_aisle",
+    "highway=tertiary;sidewalk=both",
+    "highway=residential;cycleway=lane;width=6.5",
+    "highway=unclassified;divider=solid_line",
+    "highway=residential;lanes=3;lane_markings=no",
+    "highway=motorway_link;oneway=yes",
+    "highway=cycleway;surface=sand",
+]
+
+
+def road_tag_variant(doc_id: np.ndarray, j: np.ndarray) -> np.ndarray:
+    return (
+        np.asarray(doc_id, dtype=np.int64) * 5 + np.asarray(j, dtype=np.int64) * 7
+    ) % len(ROAD_TAG_VARIANTS)
+
+
+def sql_road_variant(doc_expr: str = "doc_id", j_expr: str = "mention_idx") -> str:
+    return f"(({doc_expr}) * 5 + ({j_expr}) * 7) % {len(ROAD_TAG_VARIANTS)}"
+
+
 def sql_tag_variant(doc_expr: str = "doc_id", j_expr: str = "mention_idx") -> str:
     return f"(({doc_expr}) * 7 + ({j_expr}) * 5) % {len(TAG_VARIANTS)}"
 
