@@ -1563,27 +1563,49 @@ def _payloads_ds(sf_dir: str):
     return ds.map_batches(to_payload, batch_format="pyarrow")
 
 
+#: the synth_png_payloads closed-form geometry (SQL side)
+_PNG_DIMS_SQL = """
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+      FROM documents
+"""
+
+
+def _png_payloads_ds(sf_dir: str):
+    """documents -> REAL encoded PNG payloads (stages/multimodal.py
+    synth: closed-form dims/pixels in doc_id)."""
+    from ..stages.multimodal import synth_png_payloads
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    return ds.map_batches(synth_png_payloads, batch_format="pyarrow")
+
+
 @register(
     "mm_image_decode",
-    """
-    -- ascii() = first CODEPOINT; the stub reads the first UTF-8 BYTE.
-    -- Identical for this ASCII corpus; a non-ASCII corpus needs a
-    -- byte-level oracle expression instead.
-    SELECT doc_id,
-           64 + octet_length(encode(text)) % 64 AS width,
-           64 + ascii(substring(text, 1, 1)) % 64 AS height,
-           CAST(3 AS BIGINT) AS channels,
-           octet_length(encode(text)) AS n_bytes
-    FROM documents
+    f"""
+    WITH d AS ({_PNG_DIMS_SQL}),
+    px AS (SELECT doc_id, w, h, c, unnest(range(0, w)) AS x FROM d),
+    pxy AS (SELECT doc_id, w, h, c, x, unnest(range(0, h)) AS y FROM px),
+    pxyc AS (SELECT doc_id, w, h, c, x, y, unnest(range(0, c)) AS ch
+             FROM pxy)
+    SELECT doc_id, w AS width, h AS height, c AS channels,
+           w * h * c AS n_bytes,
+           CAST(sum((x*7 + y*13 + doc_id*11 + ch*29) % 256) AS BIGINT)
+             AS pix_sum,
+           CAST(0 AS BIGINT) AS error
+    FROM pxyc GROUP BY 1, 2, 3, 4, 5
     """,
 )
 def q_mm_image_decode(sf_dir: str):
-    """Actor-pool image decode over a binary payload column (STUB body,
-    real plumbing: small batches for wide rows, metadata-only output).
-    """
+    """Actor-pool image decode over a binary payload column — REAL
+    pure-stdlib PNG decode (functions/png.py: zlib inflate + IHDR +
+    scanline unfilter); small batches for wide rows, metadata-only
+    output, per-row error rows for undecodable payloads. The oracle
+    recomputes dims and the whole-image pixel sum from the synth
+    closed form."""
     from ..stages.multimodal import MM_BATCH_SIZE, ImageDecode
 
-    return _payloads_ds(sf_dir).map_batches(
+    return _png_payloads_ds(sf_dir).map_batches(
         ImageDecode,
         batch_format="pyarrow",
         batch_size=MM_BATCH_SIZE,
@@ -1594,12 +1616,9 @@ def q_mm_image_decode(sf_dir: str):
 
 @register(
     "mm_resize_plan",
-    """
+    f"""
     WITH dec AS (
-      SELECT doc_id,
-             64 + octet_length(encode(text)) % 64 AS width,
-             64 + ascii(substring(text, 1, 1)) % 64 AS height
-      FROM documents
+      SELECT doc_id, w AS width, h AS height FROM ({_PNG_DIMS_SQL})
     )
     SELECT doc_id, width, height,
            (width * (224000 // greatest(width, height))) // 1000 AS out_w,
@@ -1609,11 +1628,11 @@ def q_mm_image_decode(sf_dir: str):
     """,
 )
 def q_mm_resize_plan(sf_dir: str):
-    """Decode -> integer resize plan (fit-longest-side), chained actor
-    stages."""
+    """Real PNG decode -> integer resize plan (fit-longest-side),
+    chained actor stages."""
     from ..stages.multimodal import MM_BATCH_SIZE, ImageDecode, resize_plan
 
-    ds = _payloads_ds(sf_dir).map_batches(
+    ds = _png_payloads_ds(sf_dir).map_batches(
         ImageDecode,
         batch_format="pyarrow",
         batch_size=MM_BATCH_SIZE,

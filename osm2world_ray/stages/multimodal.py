@@ -3,13 +3,11 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages — the
 same shape as the reference's raster handling (``SRTMData.java:26-90``:
-opaque .hgt tiles + lazy per-worker decode). The actual codec libraries
-(PIL/ffmpeg/torchvision) are NOT in this container, so the decode body
-is a STUB: ``_fake_decode`` derives deterministic dimensions from the
-payload bytes. Every piece of Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and oracle-tested;
-swapping ``_fake_decode`` for a real decoder is a one-function change
-(guarded by an import-try in ``ImageDecode.__init__``).
+opaque .hgt tiles + lazy per-worker decode). Image decode is REAL: the
+pure-stdlib PNG codec in :mod:`osm2world_ray.functions.png` (PIL/ffmpeg
+are absent in this container, but PNG is zlib + unfilter, both in the
+stdlib). Audio/video codecs remain out of scope; the frame-sampling
+stage treats payloads as opaque fixed-size frames.
 
 Memory discipline: payload batches are WIDE — callers pass a small
 ``batch_size`` (``MM_BATCH_SIZE``) so batch x concurrency fits the
@@ -39,55 +37,83 @@ def _payload_lengths(col) -> np.ndarray:
     return pc.binary_length(col).to_numpy().astype(np.int64)
 
 
-def _first_bytes(col) -> np.ndarray:
-    """First byte of each binary payload (0 for empty), zero-copy."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
-    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
-        col.offset : col.offset + len(col) + 1
-    ].astype(np.int64)
-    lens = offs[1:] - offs[:-1]
-    first = np.zeros(len(lens), dtype=np.int64)
-    nz = lens > 0
-    first[nz] = buf[offs[:-1][nz]]
-    return first
+def synth_png_payloads(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, payload: binary) with REAL encoded
+    PNGs: dims/channels/pixels are closed-form in doc_id so the decode
+    output has an exact SQL oracle. width = 8 + doc%9,
+    height = 8 + (doc*3)%7, channels 1/3/4 by doc%3, pixel value
+    (x*7 + y*13 + doc*11 + ch*29) % 256."""
+    from ..functions.png import encode_png
+
+    doc = batch["doc_id"].to_numpy().astype(np.int64)
+    payloads = []
+    for d in doc:
+        w = 8 + int(d) % 9
+        h = 8 + (int(d) * 3) % 7
+        c = (1, 3, 4)[int(d) % 3]
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        ch = np.arange(c, dtype=np.int64)
+        px = (
+            x[None, :, None] * 7 + y[:, None, None] * 13
+            + int(d) * 11 + ch[None, None, :] * 29
+        ) % 256
+        payloads.append(encode_png(px.astype(np.uint8)))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
 
 
 class ImageDecode:
-    """(id, payload: binary) -> (id, width, height, channels, n_bytes).
+    """(id, payload: binary) -> (id, width, height, channels, n_bytes,
+    pix_sum, error).
 
-    Real decoder loaded once per actor in ``__init__`` when available;
-    otherwise the deterministic stub: width = 64 + n_bytes % 64,
-    height = 64 + first_byte % 64, channels = 3.
+    REAL decode: the pure-stdlib PNG decoder
+    (:mod:`osm2world_ray.functions.png` — zlib inflate, IHDR parse,
+    scanline unfilter), instantiated once per actor. ``n_bytes`` is the
+    decoded pixel-buffer size (w*h*c) and ``pix_sum`` the sum of all
+    pixel bytes — both oracle-expressible for synthetic images.
+    Undecodable payloads become error rows (zeros, error=1) per the
+    engine's per-row fault-tolerance rule, never task failures.
     """
 
     def __init__(self, id_col: str = "doc_id", payload_col: str = "payload"):
+        from ..functions.png import decode_png
+
         self.id_col = id_col
         self.payload_col = payload_col
-        try:  # pragma: no cover - PIL absent in this container
-            from PIL import Image  # noqa: F401
-
-            self.real = True
-        except ImportError:
-            self.real = False
+        self.decode = decode_png
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real:  # pragma: no cover
-            raise NotImplementedError(
-                "real image decode: iterate payloads through PIL here"
-            )
         col = batch[self.payload_col]
-        n_bytes = _payload_lengths(col)
-        first = _first_bytes(col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(batch)
+        w = np.zeros(n, dtype=np.int64)
+        h = np.zeros(n, dtype=np.int64)
+        c = np.zeros(n, dtype=np.int64)
+        ps = np.zeros(n, dtype=np.int64)
+        err = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            try:
+                wi, hi, ci, px = self.decode(col[i].as_py())
+            except Exception:  # ValueError / zlib.error / struct.error
+                err[i] = 1
+                continue
+            w[i], h[i], c[i] = wi, hi, ci
+            ps[i] = int(px.sum(dtype=np.int64))
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "width": pa.array(64 + n_bytes % 64),
-                "height": pa.array(64 + first % 64),
-                "channels": pa.array(np.full(len(batch), 3, dtype=np.int64)),
-                "n_bytes": pa.array(n_bytes),
+                "width": pa.array(w),
+                "height": pa.array(h),
+                "channels": pa.array(c),
+                "n_bytes": pa.array(w * h * c),
+                "pix_sum": pa.array(ps),
+                "error": pa.array(err),
             }
         )
 
