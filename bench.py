@@ -201,6 +201,111 @@ def run_scaling_shuffle(sf_dir: str) -> dict:
     }
 
 
+_EXCHANGE_DIR = "/tmp/o2w_exchange_partials"
+
+
+def _prepare_exchange_input(sf_dir: str, reps: int) -> str:
+    """Materialize the shuffle-rollup's partial rows ONCE to Parquet so
+    the exchange can be timed in isolation from HTML extraction (which
+    otherwise dominates both walls and injects the host's per-core
+    bandwidth asymmetry into the ratio)."""
+    import shutil
+
+    import ray
+
+    out = f"{_EXCHANGE_DIR}_{reps}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    from osm2world_ray.pipelines import datasets
+    from osm2world_ray.stages import tile_assign
+    from osm2world_ray.stages.rollup import partial_tile_url_counts
+
+    ds = datasets.mentions_ds(sf_dir, repeat=reps)
+    ds = ds.map_batches(
+        lambda b: tile_assign.assign_tiles(b, zoom=13), batch_format="pyarrow"
+    ).select_columns(["tx", "ty", "url"])
+    ds = ds.map_batches(partial_tile_url_counts, batch_format="pyarrow")
+    ds.write_parquet(out)
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+    ray.shutdown()
+    return out
+
+
+def run_single_exchange(path: str, num_cpus: int) -> dict:
+    """Time ONLY the unbounded-key exchange: read the pre-materialized
+    partial rows -> bounded-bucket sort shuffle -> within-bucket
+    rollup (scaling child)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm2world_ray.stages.rollup import tile_rollup_group
+
+    def job():
+        ds = rd.read_parquet(path)
+        return ds.groupby("bucket").map_groups(
+            tile_rollup_group, batch_format="pyarrow"
+        ).count()
+
+    job()  # warm-up
+    t0 = time.perf_counter()
+    job()
+    dt = time.perf_counter() - t0
+    rows = sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    ray.shutdown()
+    return {"seconds": round(dt, 3), "rows": rows,
+            "rows_per_sec": round(rows / dt, 1), "num_cpus": num_cpus}
+
+
+def run_scaling_exchange(sf_dir: str) -> dict:
+    """The exchange-isolated scaling measurement: same partial-row
+    input (pre-materialized once), sort-shuffle + rollup at 8 and 32
+    cpus in fresh processes."""
+    reps = int(os.environ.get("GRAFT_EXCHANGE_REPS", "2048"))
+    path = _prepare_exchange_input(sf_dir, reps)
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-exchange", "--cpus",
+             str(cpus), "--path", path],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"exchange child --cpus {cpus} failed "
+                f"(rc={proc.returncode}):\n{proc.stderr[-4000:]}"
+            )
+        results[cpus] = json.loads(lines[-1])
+    tp8 = results[8]["rows_per_sec"]
+    tp32 = results[32]["rows_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    return {
+        "metric": "exchange-only scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "exchange_p8_sec": results[8]["seconds"],
+            "exchange_p32_sec": results[32]["seconds"],
+        },
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "rows": results[32]["rows"],
+        "rows_per_sec_p8": tp8,
+        "rows_per_sec_p32": tp32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same flagship job at two parallelism levels in FRESH processes
     (the sandbox stand-in for N vs 4N nodes; see BASELINE.md)."""
@@ -258,7 +363,13 @@ def main() -> None:
     if "--stress" in args:
         print(json.dumps(run_stress(SF_DIR, NUM_CPUS)))
         return
-    if "--single-shuffle" in args:
+    if "--single-exchange" in args:
+        cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else NUM_CPUS
+        path = args[args.index("--path") + 1]
+        print(json.dumps(run_single_exchange(path, cpus)))
+    elif "--scaling-exchange" in args:
+        print(json.dumps(run_scaling_exchange(SF_DIR)))
+    elif "--single-shuffle" in args:
         cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else NUM_CPUS
         print(json.dumps(run_single_shuffle(SF_DIR, cpus)))
     elif "--single" in args:

@@ -32,18 +32,22 @@ import pyarrow as pa
 from .overlaps import bucket_of
 from ..geo import tiles
 
+#: single-node floor; the live count is cluster-sized
+#: (overlaps.n_shuffle_buckets: max(64, 4 x total CPUs))
 N_ROLLUP_BUCKETS = 64
 
 
 def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
-    """(tx, ty, url, ...) batch -> partial (tx, ty, page_key, n,
-    bucket).
+    """(tx, ty, url, ...) batch -> partial (bucket, tile_key,
+    page_key, n).
 
-    The url string is stripped to its int doc id BEFORE the shuffle
-    (Arrow slice+cast): the rollup only needs a distinct-page KEY, and
-    string columns were the majority of the shuffled bytes (the same
-    round-2 lesson as the pairwise joins; cut the p32 shuffle-rollup
-    wall 17.0 -> 14.5 s at sf0.1x512)."""
+    Two byte-diet rules for the exchange (each byte through the sort
+    costs ~3 passes on the materialize+sample+merge path): the url
+    string is stripped to its int doc id (Arrow slice+cast; strings
+    were the majority of the shuffled bytes — cut the p32 wall
+    17.0 -> 14.5 s at sf0.1x512), and (tx, ty) are packed into the
+    single int64 tile key (5 -> 4 columns) and unpacked after the
+    shuffle."""
     import pyarrow.compute as pc
 
     from ..sources import synth
@@ -56,18 +60,18 @@ def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
         ),
         pa.int64(),
     )
-    t = pa.table(
-        {"tx": batch["tx"], "ty": batch["ty"], "page_key": page_key}
+    tile_key = tiles.pack_key(
+        13,
+        batch["tx"].to_numpy(zero_copy_only=False),
+        batch["ty"].to_numpy(zero_copy_only=False),
     )
-    part = t.group_by(["tx", "ty", "page_key"]).aggregate(
+    t = pa.table({"tile_key": pa.array(tile_key), "page_key": page_key})
+    part = t.group_by(["tile_key", "page_key"]).aggregate(
         [([], "count_all")]
     )
-    part = part.rename_columns(["tx", "ty", "page_key", "n"])
-    key = tiles.pack_key(
-        13, part["tx"].to_numpy(), part["ty"].to_numpy()
-    )
+    part = part.rename_columns(["tile_key", "page_key", "n"])
     return part.append_column(
-        "bucket", pa.array(bucket_of(key, N_ROLLUP_BUCKETS))
+        "bucket", pa.array(bucket_of(part["tile_key"].to_numpy()))
     )
 
 
@@ -80,17 +84,18 @@ def tile_rollup_group(group) -> pa.Table:
         else pa.Table.from_pandas(group, preserve_index=False)
     )
     per_url = (
-        t.select(["tx", "ty", "page_key", "n"])
-        .group_by(["tx", "ty", "page_key"])
+        t.select(["tile_key", "page_key", "n"])
+        .group_by(["tile_key", "page_key"])
         .aggregate([("n", "sum")])
     )
-    tiles_t = per_url.group_by(["tx", "ty"]).aggregate(
+    tiles_t = per_url.group_by(["tile_key"]).aggregate(
         [("n_sum", "sum"), ([], "count_all")]
     )
+    _z, tx, ty = tiles.unpack_key(tiles_t["tile_key"].to_numpy())
     return pa.table(
         {
-            "tx": tiles_t["tx"].cast(pa.int64()),
-            "ty": tiles_t["ty"].cast(pa.int64()),
+            "tx": pa.array(tx.astype(np.int64)),
+            "ty": pa.array(ty.astype(np.int64)),
             "n_mentions": tiles_t["n_sum_sum"].cast(pa.int64()),
             "n_pages": tiles_t["count_all"].cast(pa.int64()),
         }
