@@ -244,13 +244,10 @@ def run_single_exchange(path: str, num_cpus: int) -> dict:
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from osm2world_ray.stages.rollup import tile_rollup_group
+    from osm2world_ray.stages.rollup import rollup_exchange
 
     def job():
-        ds = rd.read_parquet(path)
-        return ds.groupby("bucket").map_groups(
-            tile_rollup_group, batch_format="pyarrow"
-        ).count()
+        return rollup_exchange(rd.read_parquet(path)).count()
 
     job()  # warm-up
     t0 = time.perf_counter()

@@ -37,6 +37,29 @@ from ..geo import tiles
 N_ROLLUP_BUCKETS = 64
 
 
+def exchange_bucket_count() -> int:
+    """Bucket-space size for the rollup's sort exchange: ~32 buckets
+    per cluster core (floor 1024).
+
+    Finer than the pairwise joins' ``n_shuffle_buckets`` on purpose:
+    Ray's sort partitions the DISCRETE bucket values into range blocks
+    by sampling, so rows-per-reduce-block is quantized to whole
+    buckets.  With only 4 buckets/core the measured reduce blocks
+    ranged 0..5.5M rows (mean 1.3M) and one straggler group task held
+    the whole stage; at ~32 buckets/core the quantization error is
+    ~3% of a block.  The group kernel is vectorized Arrow, so more,
+    smaller groups cost only the ~ms per-call dispatch."""
+    count = 1024
+    try:
+        import ray
+
+        if ray.is_initialized():
+            count = max(count, 32 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return count
+
+
 def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
     """(tx, ty, url, ...) batch -> partial (bucket, tile_key,
     page_key, n).
@@ -71,7 +94,8 @@ def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
     )
     part = part.rename_columns(["tile_key", "page_key", "n"])
     return part.append_column(
-        "bucket", pa.array(bucket_of(part["tile_key"].to_numpy()))
+        "bucket",
+        pa.array(bucket_of(part["tile_key"].to_numpy(), exchange_bucket_count())),
     )
 
 
@@ -102,13 +126,41 @@ def tile_rollup_group(group) -> pa.Table:
     )
 
 
+def exchange_block_count() -> int:
+    """Pre-sort coalesce width: ~2 blocks per cluster core (floor 16).
+
+    Ray's sort exchange costs O(map_blocks x reduce_partitions) in
+    scheduling and ref-matrix overhead on top of the data movement;
+    with partial-aggregated inputs the data is tiny and that matrix IS
+    the wall.  Coalescing the partials to a few blocks per core before
+    the groupby shrinks it quadratically (measured 3x at p32 on the
+    isolated exchange) while keeping every core busy."""
+    count = 16
+    try:
+        import ray
+
+        if ray.is_initialized():
+            count = max(count, 2 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return count
+
+
+def rollup_exchange(partials_ds):
+    """Partial-rows Dataset -> per-tile rollup via the bounded-bucket
+    sort exchange (the unbounded-key-safe path).  Coalesce first: the
+    partials are near-aggregated (tiny rows), so the sort's cost is
+    per-block overhead, not bytes."""
+    ds = partials_ds.repartition(exchange_block_count(), shuffle=False)
+    return ds.groupby("bucket").map_groups(
+        tile_rollup_group, batch_format="pyarrow"
+    )
+
+
 def tile_rollup(assigned_ds):
     """Dataset with (tx, ty, url) -> per-tile rollup Dataset."""
     ds = assigned_ds.map_batches(partial_tile_url_counts, batch_format="pyarrow")
-    return (
-        ds.groupby("bucket")
-        .map_groups(tile_rollup_group, batch_format="pyarrow")
-    )
+    return rollup_exchange(ds)
 
 
 # ---------------------------------------------------------------------------
