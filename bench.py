@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "network_junctions",     # per-node cut geometry, vectorized buckets
     "mesh_merge",            # MergeMeshes partial-agg combiner
     "dedup_minhash_lsh",     # banded near-dup with shuffle-joined verify
+    # round-4 additions
+    "road_lanes",            # RoadModule lane/width derivation
+    "tileset_export",        # tile-farm capstone: fan-out+LOD+clip+atomic sink
 ]
 
 

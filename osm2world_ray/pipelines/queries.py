@@ -27,6 +27,7 @@ import pyarrow as pa
 from ..geo import tiles
 from ..sources import synth
 from ..stages import tile_assign
+from ..stages.overlaps import bucket_groups as _bucket_groups
 from . import datasets
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
@@ -559,8 +560,8 @@ def _overlap_pairs_from(mentions_ds, *, urlized: bool = True):
         )
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    pairs = ds.groupby("bucket").map_groups(
-        overlaps.pairwise_bbox_pairs, batch_format="pyarrow"
+    pairs = _bucket_groups(
+        ds, overlaps.pairwise_bbox_pairs, batch_format="pyarrow"
     )
     if not urlized:
         return pairs
@@ -630,8 +631,8 @@ def q_segment_intersections(sf_dir: str):
     ds = ds.map_batches(fan_and_bucket, batch_format="pyarrow").select_columns(
         ["doc_id", "seg_idx", "x1", "y1", "x2", "y2", "cell", "cell_ix", "cell_iy", "bucket"]
     )
-    return ds.groupby("bucket").map_groups(
-        overlaps.segment_pairs_intersections, batch_format="pyarrow"
+    return _bucket_groups(
+        ds, overlaps.segment_pairs_intersections, batch_format="pyarrow"
     ).map_batches(
         lambda b: overlaps.urlize(b, {"doc_a": "url_a", "doc_b": "url_b"}),
         batch_format="pyarrow",
@@ -800,7 +801,9 @@ def q_dedup_exact(sf_dir: str):
         )
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(combine, batch_format="pandas")
+    return _bucket_groups(
+        ds, combine, batch_format="pandas"
+    )
 
 
 @register(
@@ -862,8 +865,8 @@ def q_dedup_jaccard_pairs(sf_dir: str):
         return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(
-        make_salted_jaccard_pairs(n_blocks), batch_format="pandas"
+    return _bucket_groups(
+        ds, make_salted_jaccard_pairs(n_blocks), batch_format="pandas"
     )
 
 
@@ -937,8 +940,8 @@ def q_dedup_minhash_lsh(sf_dir: str):
         return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
-    cands = bands.groupby("bucket").map_groups(
-        lsh_candidate_pairs, batch_format="pyarrow"
+    cands = _bucket_groups(
+        bands, lsh_candidate_pairs, batch_format="pyarrow"
     )
 
     def sh_ds():
@@ -999,14 +1002,14 @@ def q_dedup_minhash_lsh(sf_dir: str):
     j1 = cands.map_batches(
         pair_rows("doc_a", False), batch_format="pyarrow"
     ).union(sh_ds().map_batches(shingle_rows(False), batch_format="pyarrow"))
-    att1 = j1.groupby("bucket").map_groups(
-        lambda g: attach_shingles(g, "doc_a", "a_sh"), batch_format="pyarrow"
+    att1 = _bucket_groups(
+        j1, lambda g: attach_shingles(g, "doc_a", "a_sh"), batch_format="pyarrow"
     )
     j2 = att1.map_batches(
         pair_rows("doc_b", True), batch_format="pyarrow"
     ).union(sh_ds().map_batches(shingle_rows(True), batch_format="pyarrow"))
-    att2 = j2.groupby("bucket").map_groups(
-        lambda g: attach_shingles(g, "doc_b", "b_sh"), batch_format="pyarrow"
+    att2 = _bucket_groups(
+        j2, lambda g: attach_shingles(g, "doc_b", "b_sh"), batch_format="pyarrow"
     )
     return att2.map_batches(
         lambda g: verify_pairs(g, threshold=0.8), batch_format="pyarrow"
@@ -1121,8 +1124,8 @@ def q_dedup_simhash_pairs(sf_dir: str):
         return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
-    return bands.groupby("bucket").map_groups(
-        hamming_candidate_pairs, batch_format="pandas"
+    return _bucket_groups(
+        bands, hamming_candidate_pairs, batch_format="pandas"
     )
 
 
@@ -1308,8 +1311,8 @@ def q_dedup_embedding_cosine(sf_dir: str):
         return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(
-        make_blocked_cosine_pairs(n_blocks, 0.35), batch_format="pandas"
+    return _bucket_groups(
+        ds, make_blocked_cosine_pairs(n_blocks, 0.35), batch_format="pandas"
     )
 
 
@@ -1367,9 +1370,8 @@ def q_dedup_embedding_lsh(sf_dir: str):
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(
-        lambda g: lsh_bucket_cosine_pairs(g, threshold=0.35),
-        batch_format="pandas",
+    return _bucket_groups(
+        ds, lambda g: lsh_bucket_cosine_pairs(g, threshold=0.35), batch_format="pandas"
     )
 
 
@@ -2036,8 +2038,8 @@ def q_node_adjacency(sf_dir: str):
         )
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(
-        angular_adjacency, batch_format="pandas"
+    return _bucket_groups(
+        ds, angular_adjacency, batch_format="pandas"
     )
 
 
@@ -2454,8 +2456,8 @@ def q_overlap_pairs_salted(sf_dir: str):
     ds = ds.map_batches(fan, batch_format="pyarrow").select_columns(
         ["doc_id", "mention_idx", "lat", "lon", "cell", "cell_ix", "cell_iy", "bucket"]
     )
-    return ds.groupby("bucket").map_groups(
-        overlaps.pairwise_bbox_pairs, batch_format="pyarrow"
+    return _bucket_groups(
+        ds, overlaps.pairwise_bbox_pairs, batch_format="pyarrow"
     ).map_batches(
         lambda b: overlaps.urlize(b, {"doc_a": "url_a", "doc_b": "url_b"}),
         batch_format="pyarrow",
@@ -3020,8 +3022,8 @@ def q_events_tumbling(sf_dir: str):
 
     ds = datasets.events_ds(sf_dir)
     ds = ds.map_batches(tumbling_partial, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(
-        tumbling_combine, batch_format="pandas"
+    return _bucket_groups(
+        ds, tumbling_combine, batch_format="pandas"
     )
 
 
@@ -3056,8 +3058,8 @@ def q_events_sessionize(sf_dir: str):
     session id = the session's first event id."""
     from ..stages.windows import sessionize
 
-    return _events_bucketed(sf_dir).groupby("bucket").map_groups(
-        sessionize, batch_format="pandas"
+    return _bucket_groups(
+        _events_bucketed(sf_dir), sessionize, batch_format="pandas"
     )
 
 
@@ -3083,8 +3085,8 @@ def q_events_asof(sf_dir: str):
     partitioning assumption is user co-location via the bucket key)."""
     from ..stages.windows import asof_join
 
-    return _events_bucketed(sf_dir).groupby("bucket").map_groups(
-        asof_join, batch_format="pandas"
+    return _bucket_groups(
+        _events_bucketed(sf_dir), asof_join, batch_format="pandas"
     )
 
 
@@ -4569,11 +4571,11 @@ def q_enforce_ele(sf_dir: str):
     union = comp.map_batches(comp_rows, batch_format="pyarrow").union(
         ele.map_batches(ele_rows, batch_format="pyarrow")
     )
-    merged = union.groupby("bucket").map_groups(
-        _enforce_merge, batch_format="pandas"
+    merged = _bucket_groups(
+        union, _enforce_merge, batch_format="pandas"
     )
-    return merged.groupby("bucket").map_groups(
-        _enforce_avg, batch_format="pandas"
+    return _bucket_groups(
+        merged, _enforce_avg, batch_format="pandas"
     )
 
 
@@ -4677,8 +4679,8 @@ def q_events_hopping(sf_dir: str):
 
     ds = datasets.events_ds(sf_dir)
     ds = ds.map_batches(hopping_partial, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(
-        tumbling_combine, batch_format="pandas"
+    return _bucket_groups(
+        ds, tumbling_combine, batch_format="pandas"
     )
 
 

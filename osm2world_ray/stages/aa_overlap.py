@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from ..geo.segments import segment_intersection
 from ..sources import synth
-from .overlaps import _candidate_pairs, _sweep_pair_chunks, bucket_of
+from .overlaps import bucket_groups, _candidate_pairs, _sweep_pair_chunks, bucket_of
 
 #: docs carrying an edge-sharing twin / corner-touching twin of mention 0
 EDGE_TWIN_MOD = 41
@@ -433,8 +433,8 @@ def overlap_aa_unsalted(mentions_ds):
     ``overlap_aa`` (salted) the production path."""
     areas = mentions_ds.map_batches(areas_from_mentions, batch_format="pyarrow")
     fanned = areas.map_batches(fan_out_area_cells, batch_format="pyarrow")
-    return fanned.groupby("bucket").map_groups(
-        pairwise_aa_typed, batch_format="pyarrow"
+    return bucket_groups(
+        fanned, pairwise_aa_typed, batch_format="pyarrow"
     )
 
 
@@ -517,6 +517,6 @@ def overlap_aa(mentions_ds, *, threshold: int = 50):
         return fan_out_area_cells_salted(b, ray.get(hot_ref), r=5, r_hot=6)
 
     fanned = areas.map_batches(fan, batch_format="pyarrow")
-    return fanned.groupby("bucket").map_groups(
-        pairwise_aa_typed, batch_format="pyarrow"
+    return bucket_groups(
+        fanned, pairwise_aa_typed, batch_format="pyarrow"
     )

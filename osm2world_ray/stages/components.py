@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .overlaps import bucket_of
+from .overlaps import bucket_groups, bucket_of
 
 #: quotients up to this many edges finish on the driver; larger ones
 #: recurse (sandbox-scale threshold; production sets this to what one
@@ -180,8 +180,8 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
 
         edges_ds = edges_ds.map_batches(rebucket, batch_format="pyarrow")
 
-    node_roots = edges_ds.groupby("bucket").map_groups(
-        local_roots, batch_format="pandas"
+    node_roots = bucket_groups(
+        edges_ds, local_roots, batch_format="pandas"
     )
 
     def root_key(b: pa.Table, self_flag: int) -> pa.Table:
@@ -199,8 +199,8 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
         all_roots = all_roots.union(
             nodes_ds.map_batches(self_rows, batch_format="pyarrow")
         )
-    mixed = all_roots.groupby("bucket").map_groups(
-        node_min_roots_and_conflicts, batch_format="pandas"
+    mixed = bucket_groups(
+        all_roots, node_min_roots_and_conflicts, batch_format="pandas"
     ).materialize()
 
     quotient_ds = mixed.filter(expr="kind == 1").select_columns(["ra", "rb"])
@@ -270,6 +270,6 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
     joined = kind0.map_batches(row_side, batch_format="pyarrow").union(
         rec.map_batches(map_rows, batch_format="pyarrow")
     )
-    return joined.groupby("bucket").map_groups(
-        _remap_join, batch_format="pandas"
+    return bucket_groups(
+        joined, _remap_join, batch_format="pandas"
     )

@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .overlaps import bucket_of
+from .overlaps import bucket_groups, bucket_of
 
 #: distinct synthetic texture-layer ids
 N_TEX = 7
@@ -183,8 +183,8 @@ def merge_meshes(docs_ds, *, merge_elements: bool = False):
     parts = rows.map_batches(
         lambda b, key=key: _partial_merge(b, key), batch_format="pyarrow"
     )
-    return parts.groupby("bucket").map_groups(
-        lambda g, key=key: _combine_merge(g, key), batch_format="pandas"
+    return bucket_groups(
+        parts, lambda g, key=key: _combine_merge(g, key), batch_format="pandas"
     )
 
 

@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sources import synth
-from .overlaps import bucket_of
+from .overlaps import bucket_groups, bucket_of
 
 #: spoke length (degrees); the reference point then sits at
 #: -(201 - L/2) = -200.5 along the spoke direction
@@ -296,6 +296,6 @@ def network_junctions(docs_ds):
     """documents -> per-spoke cut geometry via one bounded-bucket
     shuffle and the vectorized per-bucket kernel."""
     spokes = docs_ds.map_batches(spokes_from_docs, batch_format="pyarrow")
-    return spokes.groupby("bucket").map_groups(
-        lambda g: junction_cuts(g), batch_format="pandas"
+    return bucket_groups(
+        spokes, lambda g: junction_cuts(g), batch_format="pandas"
     )

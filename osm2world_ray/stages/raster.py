@@ -30,7 +30,7 @@ def cell_counts(ds, *, r: int = 5):
     bounded-bucket shuffle (same combiner discipline as the tile
     rollup)."""
     from ..geo import cells as cells_mod
-    from .overlaps import bucket_of
+    from .overlaps import bucket_groups, bucket_of
 
     def partial(batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -50,7 +50,9 @@ def cell_counts(ds, *, r: int = 5):
         return out.astype({"cell": np.int64, "n": np.int64})
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(combine, batch_format="pandas")
+    return bucket_groups(
+        ds, combine, batch_format="pandas"
+    )
 
 
 def rasterize_window(group: pd.DataFrame) -> pd.DataFrame:

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sources import synth
-from .overlaps import bucket_of
+from .overlaps import bucket_groups, bucket_of
 
 DANGLING_MOD = 23
 DANGLING_REF = 3
@@ -296,8 +296,8 @@ def resolve_relations(sf_dir: str):
     )
     members = docs.map_batches(member_rows, batch_format="pyarrow")
     union = nodes.union(ways).union(rels).union(members)
-    return union.groupby("bucket").map_groups(
-        resolve_relations_group, batch_format="pandas"
+    return bucket_groups(
+        union, resolve_relations_group, batch_format="pandas"
     )
 
 
@@ -312,12 +312,12 @@ def _keyrow(doc: np.ndarray, idx: np.ndarray, kind: int) -> pa.Table:
 
 
 def resolve_ways(sf_dir: str):
-    return _tagged_union(sf_dir).groupby("bucket").map_groups(
-        resolve_group, batch_format="pandas"
+    return bucket_groups(
+        _tagged_union(sf_dir), resolve_group, batch_format="pandas"
     )
 
 
 def resolve_way_errors(sf_dir: str):
-    return _tagged_union(sf_dir).groupby("bucket").map_groups(
-        resolve_errors_group, batch_format="pandas"
+    return bucket_groups(
+        _tagged_union(sf_dir), resolve_errors_group, batch_format="pandas"
     )

@@ -36,7 +36,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sources import synth
-from .overlaps import bucket_of
+from .overlaps import bucket_groups, bucket_of
 
 #: local node id -> (dlat, dlon) offsets from the relation base point
 _NODE_OFFSETS = {
@@ -302,6 +302,6 @@ def assemble_rings(sf_dir: str):
 
     docs = datasets.documents_ds(sf_dir, columns=["doc_id"])
     members = docs.map_batches(members_from_docs, batch_format="pyarrow")
-    return members.groupby("bucket").map_groups(
-        lambda g: assemble_group(g), batch_format="pandas"
+    return bucket_groups(
+        members, lambda g: assemble_group(g), batch_format="pandas"
     )

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .overlaps import bucket_of
+from .overlaps import bucket_groups, bucket_of, exchange_block_count
 from ..geo import tiles
 
 #: single-node floor; the live count is cluster-sized
@@ -126,35 +126,12 @@ def tile_rollup_group(group) -> pa.Table:
     )
 
 
-def exchange_block_count() -> int:
-    """Pre-sort coalesce width: ~2 blocks per cluster core (floor 16).
-
-    Ray's sort exchange costs O(map_blocks x reduce_partitions) in
-    scheduling and ref-matrix overhead on top of the data movement;
-    with partial-aggregated inputs the data is tiny and that matrix IS
-    the wall.  Coalescing the partials to a few blocks per core before
-    the groupby shrinks it quadratically (measured 3x at p32 on the
-    isolated exchange) while keeping every core busy."""
-    count = 16
-    try:
-        import ray
-
-        if ray.is_initialized():
-            count = max(count, 2 * int(ray.cluster_resources().get("CPU", 0)))
-    except Exception:
-        pass
-    return count
-
-
 def rollup_exchange(partials_ds):
     """Partial-rows Dataset -> per-tile rollup via the bounded-bucket
-    sort exchange (the unbounded-key-safe path).  Coalesce first: the
-    partials are near-aggregated (tiny rows), so the sort's cost is
-    per-block overhead, not bytes."""
-    ds = partials_ds.repartition(exchange_block_count(), shuffle=False)
-    return ds.groupby("bucket").map_groups(
-        tile_rollup_group, batch_format="pyarrow"
-    )
+    sort exchange (the unbounded-key-safe path).  Coalesced first
+    (``overlaps.bucket_groups``): the partials are near-aggregated
+    (tiny rows), so the sort's cost is per-block overhead, not bytes."""
+    return bucket_groups(partials_ds, tile_rollup_group)
 
 
 def tile_rollup(assigned_ds):
