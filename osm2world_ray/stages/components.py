@@ -29,7 +29,6 @@ RECURSIVE fallback:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .overlaps import bucket_groups, bucket_of
@@ -70,17 +69,20 @@ def np_union_find(src: np.ndarray, dst: np.ndarray):
     return nodes, nodes[parent]
 
 
-def local_roots(group: pd.DataFrame) -> pd.DataFrame:
+def local_roots(group) -> pa.Table:
     """One edge bucket -> (node, root) with root = min node reachable
-    within this bucket's edges (vectorized union-find)."""
+    within this bucket's edges (vectorized union-find). Arrow in/out
+    (accepts a pandas frame for the pytest reference path)."""
+    from .overlaps import col_np
+
     nodes, roots = np_union_find(
-        group["src"].to_numpy(dtype=np.int64),
-        group["dst"].to_numpy(dtype=np.int64),
+        col_np(group, "src", np.int64),
+        col_np(group, "dst", np.int64),
     )
-    return pd.DataFrame({"node": nodes, "root": roots})
+    return pa.table({"node": pa.array(nodes), "root": pa.array(roots)})
 
 
-def node_min_roots_and_conflicts(group: pd.DataFrame) -> pd.DataFrame:
+def node_min_roots_and_conflicts(group) -> pa.Table:
     """Node-bucket pass: per node, its min local root (kind 0 rows) and
     one conflict edge per adjacent distinct BUCKET-DERIVED root pair
     (kind 1 rows) — the quotient-graph edges.
@@ -91,63 +93,64 @@ def node_min_roots_and_conflicts(group: pd.DataFrame) -> pd.DataFrame:
     conflating the node id into the quotient would blow it up to
     O(edge-bearing nodes). With self rows excluded, quotient size =
     nodes whose edges span >1 bucket."""
-    g = group.sort_values(["node", "root"], kind="mergesort")
-    node = g["node"].to_numpy(dtype=np.int64)
-    root = g["root"].to_numpy(dtype=np.int64)
-    is_self = g["is_self"].to_numpy(dtype=np.int64)
+    from .overlaps import col_np
+
+    node = col_np(group, "node", np.int64)
+    root = col_np(group, "root", np.int64)
+    is_self = col_np(group, "is_self", np.int64)
+    order = np.lexsort((root, node))
+    node, root, is_self = node[order], root[order], is_self[order]
     first = np.ones(len(node), dtype=bool)
     first[1:] = node[1:] != node[:-1]
-    k0 = pd.DataFrame(
-        {
-            "node": node[first],
-            "root": root[first],  # min root: sorted by (node, root)
-            "ra": np.full(int(first.sum()), -1, dtype=np.int64),
-            "rb": np.full(int(first.sum()), -1, dtype=np.int64),
-            "kind": np.zeros(int(first.sum()), dtype=np.int64),
-        }
-    )
     same = node[1:] == node[:-1]
     differ = root[1:] != root[:-1]
     both_bucket = (is_self[1:] == 0) & (is_self[:-1] == 0)
     take = same & differ & both_bucket
-    k1 = pd.DataFrame(
+    n0, n1 = int(first.sum()), int(take.sum())
+    return pa.table(
         {
-            "node": node[1:][take],
-            "root": np.full(int(take.sum()), -1, dtype=np.int64),
-            "ra": root[:-1][take],
-            "rb": root[1:][take],
-            "kind": np.ones(int(take.sum()), dtype=np.int64),
+            "node": pa.array(np.concatenate((node[first], node[1:][take]))),
+            # min root: sorted by (node, root)
+            "root": pa.array(np.concatenate(
+                (root[first], np.full(n1, -1, dtype=np.int64)))),
+            "ra": pa.array(np.concatenate(
+                (np.full(n0, -1, dtype=np.int64), root[:-1][take]))),
+            "rb": pa.array(np.concatenate(
+                (np.full(n0, -1, dtype=np.int64), root[1:][take]))),
+            "kind": pa.array(np.concatenate(
+                (np.zeros(n0, dtype=np.int64), np.ones(n1, dtype=np.int64)))),
         }
     )
-    return pd.concat([k0, k1], ignore_index=True)
 
 
-def _remap_join(group: pd.DataFrame) -> pd.DataFrame:
+def _remap_join(group) -> pa.Table:
     """Bucket co-group of (node, root, kind=0) rows and (root -> label,
     kind=2) mapping rows; applies the mapping (identity default)."""
-    kind = group["kind"].to_numpy()
-    maps = group[kind == 2]
-    rows = group[kind == 0]
+    from .overlaps import col_np
+
+    kind = col_np(group, "kind", np.int64)
+    node = col_np(group, "node", np.int64)
+    root = col_np(group, "root", np.int64)
+    label = col_np(group, "label", np.int64)
+    rows = np.nonzero(kind == 0)[0]
     if len(rows) == 0:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "node": pd.Series(dtype=np.int64),
-                "label": pd.Series(dtype=np.int64),
+                "node": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
             }
         )
-    keys = maps["root"].to_numpy(dtype=np.int64)
-    vals = maps["label"].to_numpy(dtype=np.int64)
+    maps = np.nonzero(kind == 2)[0]
+    keys, vals = root[maps], label[maps]
     order = np.argsort(keys)
     keys, vals = keys[order], vals[order]
-    root = rows["root"].to_numpy(dtype=np.int64)
-    lab = root.copy()
+    want = root[rows]
+    lab = want.copy()
     if len(keys):
-        pos = np.clip(np.searchsorted(keys, root), 0, len(keys) - 1)
-        hit = keys[pos] == root
+        pos = np.clip(np.searchsorted(keys, want), 0, len(keys) - 1)
+        hit = keys[pos] == want
         lab[hit] = vals[pos[hit]]
-    return pd.DataFrame(
-        {"node": rows["node"].to_numpy(dtype=np.int64), "label": lab}
-    )
+    return pa.table({"node": pa.array(node[rows]), "label": pa.array(lab)})
 
 
 def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
@@ -181,7 +184,7 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
         edges_ds = edges_ds.map_batches(rebucket, batch_format="pyarrow")
 
     node_roots = bucket_groups(
-        edges_ds, local_roots, batch_format="pandas"
+        edges_ds, local_roots, batch_format="pyarrow"
     )
 
     def root_key(b: pa.Table, self_flag: int) -> pa.Table:
@@ -200,7 +203,7 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
             nodes_ds.map_batches(self_rows, batch_format="pyarrow")
         )
     mixed = bucket_groups(
-        all_roots, node_min_roots_and_conflicts, batch_format="pandas"
+        all_roots, node_min_roots_and_conflicts, batch_format="pyarrow"
     ).materialize()
 
     quotient_ds = mixed.filter(expr="kind == 1").select_columns(["ra", "rb"])
@@ -271,5 +274,5 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
         rec.map_batches(map_rows, batch_format="pyarrow")
     )
     return bucket_groups(
-        joined, _remap_join, batch_format="pandas"
+        joined, _remap_join, batch_format="pyarrow"
     )
