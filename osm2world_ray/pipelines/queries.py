@@ -871,10 +871,20 @@ def q_dedup_jaccard_pairs(sf_dir: str):
 
 
 def _minhash_lsh_sql(threshold: float = 0.8) -> str:
+    return f"""
+    WITH {_minhash_cte()}
+    SELECT doc_a, doc_b,
+           CAST(floor(j * 1000 + 0.5) AS BIGINT) AS jaccard_mil
+    FROM jac WHERE j >= {threshold}
+    """
+
+
+def _minhash_cte() -> str:
+    """The MinHash+LSH pair CTE chain (ends at ``jac``) — shared by the
+    pair query and the cluster rollup."""
     from ..functions import polyhash as ph
 
-    return f"""
-    WITH {ph.SQL_BP_CTE},
+    return f"""{ph.SQL_BP_CTE},
     toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     sh AS (SELECT doc_id, unnest({ph.SQL_SHINGLES}) AS s FROM toks),
     hashes AS (SELECT DISTINCT doc_id, {ph.sql_hash('s')} AS h FROM sh, bp),
@@ -898,15 +908,10 @@ def _minhash_lsh_sql(threshold: float = 0.8) -> str:
                    i.ni::DOUBLE / (sa.nsh + sb.nsh - i.ni) AS j
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.doc_a
-            JOIN sizes sb ON sb.doc_id = i.doc_b)
-    SELECT doc_a, doc_b,
-           CAST(floor(j * 1000 + 0.5) AS BIGINT) AS jaccard_mil
-    FROM jac WHERE j >= {threshold}
-    """
+            JOIN sizes sb ON sb.doc_id = i.doc_b)"""
 
 
-@register("dedup_minhash_lsh", _minhash_lsh_sql())
-def q_dedup_minhash_lsh(sf_dir: str):
+def _minhash_pairs_ds(sf_dir: str):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold
     0.8 over the distinct shingle-hash sets). The 100 TB-safe shape:
 
@@ -1013,6 +1018,67 @@ def q_dedup_minhash_lsh(sf_dir: str):
     )
     return att2.map_batches(
         lambda g: verify_pairs(g, threshold=0.8), batch_format="pyarrow"
+    )
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql())
+def q_dedup_minhash_lsh(sf_dir: str):
+    """See :func:`_minhash_pairs_ds` (the shared near-dup pair
+    pipeline; also feeds ``dedup_clusters``)."""
+    return _minhash_pairs_ds(sf_dir)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_minhash_cte()},
+    pairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.8),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, walk.label FROM walk JOIN e ON e.src = walk.node
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster,
+           CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(sf_dir: str):
+    """Fuzzy-dedup CLUSTERS: the full curation step a 100 TB corpus
+    runs after near-dup pair mining — verified MinHash pairs become
+    edges of a doc graph, connected components assign every document a
+    cluster id (min doc_id in its component), and the canonical
+    survivor per cluster is flagged. Composition of two scale-safe
+    engines: the bucketed LSH join (:func:`_minhash_pairs_ds`) and the
+    two-level-contraction union-find
+    (:mod:`osm2world_ray.stages.components`); no stage holds more than
+    a bucket. Reference dedup precedent: ``SpatialIndex.java:30-43``
+    probe dedup; cluster canonicalization mirrors
+    ``OSMToMapDataConverter.java:292-303`` keep-first semantics."""
+    from ..stages.components import connected_components
+
+    nodes = datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow"
+    )
+    edges = _minhash_pairs_ds(sf_dir).map_batches(
+        lambda b: pa.table({"src": b["doc_a"], "dst": b["doc_b"]}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(nodes, edges)
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["node"],
+                "cluster": b["label"],
+                "is_canonical": pa.compute.cast(
+                    pa.compute.equal(b["node"], b["label"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -1157,6 +1223,29 @@ def q_text_quality(sf_dir: str):
     return ds.map_batches(
         QualityScore, batch_format="pandas", concurrency=(1, 16), num_cpus=1
     )
+
+
+@register(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\f\r ]+|[\t\n\f\r ]+'))
+             AS BIGINT) AS n_bpe
+    FROM documents
+    """,
+)
+def q_token_count(sf_dir: str):
+    """Token counting for training-data budgeting: whitespace tokens
+    plus a BPE-ish subword count (``textstats.BPE_PATTERN``) — computed
+    with NO per-row regex via a byte-class run scan over the Arrow
+    string buffer (``textstats.bpe_token_counts``; fuzz-checked
+    byte-identical to both Python ``re`` and DuckDB RE2)."""
+    from ..stages.textstats import token_count_batch
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
 @register(

@@ -51,6 +51,90 @@ def _split_tokens(texts: pa.Array, *, whitespace_runs: bool = False):
     return toks.flatten(), idx, lengths.astype(np.int64)
 
 
+#: BPE-ish pre-tokenizer over ASCII classes — the GPT-2 pattern shape
+#: restricted to what BOTH RE2 (the DuckDB oracle) and a byte-class run
+#: scan express identically: an optional leading SPACE glued to a
+#: letter/digit/punct run, whitespace runs otherwise. (RE2 has no
+#: lookahead, so the trailing-space refinement of the original pattern
+#: is deliberately absent on both sides.)
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\f\r ]+|[\t\n\f\r ]+"
+
+#: byte classes: 0 other, 1 letter, 2 digit, 3 whitespace (RE2 \s set)
+_BPE_CLS = np.zeros(256, dtype=np.int8)
+_BPE_CLS[ord("A"):ord("Z") + 1] = 1
+_BPE_CLS[ord("a"):ord("z") + 1] = 1
+_BPE_CLS[ord("0"):ord("9") + 1] = 2
+_BPE_CLS[[9, 10, 12, 13, 32]] = 3
+
+
+def bpe_token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row count of :data:`BPE_PATTERN` matches, with NO per-row
+    regex: token count == class-run count adjusted for the leftmost-
+    first absorption rule. A run of bytes of one class is one match,
+    except a single literal-space run immediately followed (same row)
+    by a letter/digit/punct run — the ``' ?'`` prefix absorbs it into
+    the next match. Multi-byte UTF-8 chars are >=0x80 bytes, class
+    "other" — byte runs and RE2 character runs coincide."""
+    from ..functions import polyhash as ph
+
+    off, data = ph._string_bytes(texts)
+    n = len(off) - 1
+    base = off[0]
+    off = off - base
+    data = data[base:base + off[-1]]
+    if len(data) == 0:
+        return np.zeros(n, dtype=np.int64)
+    cls = _BPE_CLS[data]
+    start = np.ones(len(data), dtype=bool)
+    start[1:] = cls[1:] != cls[:-1]
+    row_starts = off[1:-1]
+    start[row_starts[row_starts < len(data)]] = True
+    pos = np.nonzero(start)[0]
+    run_len = np.diff(np.concatenate((pos, [len(data)])))
+    run_cls = cls[pos]
+    # row of each run via searchsorted into row offsets
+    run_row = np.searchsorted(off, pos, side="right") - 1
+    absorbed = np.zeros(len(pos), dtype=bool)
+    if len(pos) > 1:
+        same_row = run_row[:-1] == run_row[1:]
+        absorbed[:-1] = (
+            (run_cls[:-1] == 3)
+            & (run_len[:-1] == 1)
+            & (data[pos[:-1]] == 32)
+            & same_row
+            & (run_cls[1:] != 3)
+        )
+    counts = np.bincount(run_row, minlength=n)
+    counts -= np.bincount(run_row[absorbed], minlength=n)
+    return counts.astype(np.int64)
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, n_ws, n_bpe): whitespace token count
+    (``string_split(text, ' ')`` semantics: spaces+1) and the BPE-ish
+    subword count — both from one pass over the raw byte buffer."""
+    from ..functions import polyhash as ph
+
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    off, data = ph._string_bytes(texts)
+    base = off[0]
+    off = off - base
+    data = data[base:base + off[-1]]
+    n = len(off) - 1
+    is_sp = (data == 32).astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(is_sp)))
+    n_ws = (cum[off[1:]] - cum[off[:-1]]) + 1
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws": pa.array(n_ws.astype(np.int64)),
+            "n_bpe": pa.array(bpe_token_counts(texts)),
+        }
+    )
+
+
 class QualityScore:
     """documents batch -> integer quality signals per doc:
     n_tokens (single-space split, DuckDB string_split semantics),
