@@ -3117,6 +3117,40 @@ def q_events_tumbling(sf_dir: str):
 
 
 @register(
+    "events_topk",
+    """
+    WITH agg AS (
+      SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS win, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT win, event_type, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY win
+                                ORDER BY n DESC, event_type) AS rank
+      FROM agg
+    )
+    SELECT win, CAST(rank AS BIGINT) AS rank, event_type, n
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_events_topk(sf_dir: str):
+    """Per-window top-k (k=3) event types by count — the distributed
+    top-k-per-group primitive: per-batch partial counts, ONE
+    bounded-bucket shuffle keyed on the window (a window's rows
+    co-locate), vectorized combine + segmented rank scan in the
+    kernel. No global sort; ties broken by event_type ascending
+    (row_number() semantics, matching the oracle)."""
+    from ..stages.windows import topk_by_window, topk_partial
+
+    ds = datasets.events_ds(sf_dir)
+    ds = ds.map_batches(topk_partial, batch_format="pyarrow")
+    return _bucket_groups(
+        ds, topk_by_window, batch_format="pyarrow"
+    )
+
+
+@register(
     "events_sessionize",
     """
     WITH o AS (

@@ -57,6 +57,66 @@ def tumbling_combine(group: pd.DataFrame) -> pd.DataFrame:
     return out.astype({"win": np.int64, "sum_cents": np.int64, "n": np.int64})
 
 
+def topk_partial(batch: pa.Table) -> pa.Table:
+    """events batch -> partial per-(window, event_type) counts with the
+    window-keyed bucket (all of a window's rows co-locate)."""
+    win = _ts_us(batch) // WINDOW_US
+    t = pa.table({"win": pa.array(win), "event_type": batch["event_type"]})
+    g = t.group_by(["win", "event_type"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "win": g["win"],
+            "event_type": g["event_type"],
+            "n": g["count_all"].cast(pa.int64()),
+            "bucket": pa.array(bucket_of(g["win"].to_numpy())),
+        }
+    )
+
+
+def topk_by_window(group, *, k: int = 3) -> pa.Table:
+    """Bucket of window partials -> the top-``k`` event types per
+    window by count (ties: event_type ascending — row_number()
+    semantics). Vectorized: one combine group_by, one lexsort, one
+    segmented rank scan; Arrow in/out."""
+    empty = pa.table(
+        {
+            "win": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+    t = (
+        group
+        if isinstance(group, pa.Table)
+        else pa.Table.from_pandas(group, preserve_index=False)
+    )
+    if len(t) == 0:
+        return empty
+    g = t.select(["win", "event_type", "n"]).group_by(
+        ["win", "event_type"]
+    ).aggregate([("n", "sum")])
+    win = g["win"].to_numpy()
+    n = g["n_sum"].to_numpy()
+    et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+    order = np.lexsort((et, -n, win))
+    win, n, et = win[order], n[order], et[order]
+    first = np.ones(len(win), dtype=bool)
+    first[1:] = win[1:] != win[:-1]
+    starts = np.nonzero(first)[0]
+    sizes = np.diff(np.concatenate((starts, [len(win)])))
+    rank = np.arange(len(win), dtype=np.int64) - np.repeat(starts, sizes) + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "win": pa.array(win[keep]),
+            "rank": pa.array(rank[keep]),
+            "event_type": pa.array(et[keep].tolist(), type=pa.string()),
+            "n": pa.array(n[keep]),
+        }
+    )
+
+
 def sessionize(group: pd.DataFrame) -> pd.DataFrame:
     """Bucket of users -> per-event session ids: a session breaks when
     the gap to the user's previous event exceeds SESSION_GAP_US;
