@@ -5504,24 +5504,25 @@ def q_style_materials(sf_dir: str):
 #: registration order — rotation maximizes cumulative driver evidence
 #: across rounds without dropping any registration.
 _SAMPLE_PRIORITY = [
-    # round-2 operators never sampled by the driver (CORRECTNESS_r02)
-    "interp_linear", "interp_natural", "interp_lsq",
-    "overlap_aa", "overlap_aa_unsalted", "overlap_wa",
-    "assemble_rings", "assemble_coastlines",
-    "cag_subtract", "triangulate_boundaries", "triangulate_holes",
-    "buffer_polygons", "knn_roof_rule",
-    "events_tumbling", "events_hopping", "events_sessionize", "events_asof",
-    "read_osm_xml", "read_osm_json", "read_osm_pbf", "srtm_read",
-    "kmeans_clusters", "corpus_filter", "corpus_sample",
-    "export_obj", "log_compact", "ele_tag_calc", "enforce_ele",
-    "resolve_ways", "resolve_way_errors", "resolve_relations",
-    "classify_tags", "shrink_huge_areas",
-    # round-3 additions (registered below as they are built)
-    "mesh_merge", "mesh_merge_elements", "texture_atlas", "filter_lod",
-    "network_junctions", "buffer_shrink_concave", "pip_join_quadtree",
-    "ele_bridge_tunnel_calc", "mesh_layers_split", "mesh_colors_to_vertices",
-    "mesh_double_sided", "mesh_convert_triangles", "export_gltf", "export_pov",
-    "style_materials",
+    # round-4 additions + operators materially changed this round
+    "road_lanes", "tileset_export", "equidistribute_points_mid",
+    "dedup_clusters", "token_count", "events_topk", "mm_image_decode",
+    "dedup_minhash_lsh", "tile_rollup_z13", "fingerprint_md5",
+    "read_osm_xml", "overlap_pairs_salted", "overlap_aa",
+    "overlap_components", "enforce_ele",
+    # never yet in a CORRECTNESS_r* sample (latest registrations first —
+    # rounds 1-2 sampled the first 50 in registration order, round 3
+    # sampled the previous priority head)
+    "dataset_center", "terrain_grid", "extract_errors", "scatter_points",
+    "equidistribute_points", "node_adjacency", "parse_tags",
+    "idw_elevation", "raster_sites", "density_raster", "checkpoint_export",
+    "mm_frame_sample", "mm_resize_plan", "ann_lsh_cosine", "ann_ivf_cosine",
+    "fingerprint_rolling", "dedup_embedding_lsh", "dedup_embedding_cosine",
+    "knn_brute_cosine", "lang_id", "text_quality", "dedup_simhash_pairs",
+    "dedup_simhash", "dedup_jaccard_pairs", "dedup_exact", "read_pruned",
+    "tile_metadata_join", "overlap_typed", "pip_join_kdtree", "knn_top3",
+    "knn_nearest_kind", "straddle_fanout_z13", "mercator_mm",
+    "tile_ancestor_rollup", "cell_assign_r5",
 ]
 
 
