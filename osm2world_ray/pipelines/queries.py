@@ -2071,6 +2071,67 @@ def q_parse_tags(sf_dir: str):
     return ds.map_batches(parse_batch, batch_format="pyarrow")
 
 
+@register(
+    "traffic_signs",
+    f"""
+    WITH s0 AS (
+      SELECT doc_id, {synth.TRAFFIC_SIGN_VALUE_SQL} AS val FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN strpos(val, ':') > 0
+                  THEN substr(val, 1, strpos(val, ':') - 1) END AS country,
+             CASE WHEN strpos(val, ':') > 0
+                  THEN substr(val, strpos(val, ':') + 1) ELSE val END AS rest
+      FROM s0 WHERE val <> ''
+    ),
+    ex AS (
+      SELECT doc_id, country, i - 1 AS sign_idx,
+             trim(string_split_regex(rest, '[;,]')[i], ' ') AS piece
+      FROM sp CROSS JOIN (SELECT unnest(range(1, 4)) AS i) r
+      WHERE i <= len(string_split_regex(rest, '[;,]'))
+    ),
+    parsed AS (
+      SELECT doc_id, country, CAST(sign_idx AS BIGINT) AS sign_idx,
+             regexp_extract(piece, '\\[(.*)\\]', 1) AS bracket_text,
+             regexp_replace(piece, '\\[.*\\]', '') AS sign
+      FROM ex
+    ),
+    typed AS (
+      SELECT *,
+             regexp_extract(sign, '^[0-9]*-([0-9]+)[A-Za-z]*$', 1) AS sub_type,
+             'SIGN_' || CASE WHEN country IS NULL THEN ''
+                             ELSE country || '_' END
+                     || upper(replace(sign, '-', '_')) AS config_key
+      FROM parsed
+    )
+    SELECT doc_id, sign_idx, coalesce(country, '') AS country, sign,
+           bracket_text, sub_type, config_key,
+           CASE WHEN sub_type = '' THEN config_key
+                ELSE replace(config_key, '_' || sub_type, '') END
+             AS config_key_wo
+    FROM typed
+    """,
+)
+def q_traffic_signs(sf_dir: str):
+    """TrafficSignIdentifier parsing as a data operator
+    (``TrafficSignIdentifier.java:18-135``, mirrored on
+    ``TrafficSignIdentifierTest.java``): country prefix split-once,
+    multi-sign explode with Java split semantics, greedy bracket
+    extraction, full-match sub-types, config keys with the
+    String.replace sub-type removal (including the double-removal case
+    a type-startswith-subtype id triggers). Fully vectorized
+    (``functions/traffic_signs.parse_signs_batch``)."""
+    from ..functions.traffic_signs import parse_signs_batch
+
+    def parse(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return parse_signs_batch(d, pa.array(synth.traffic_sign_values(d)))
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # per-node / per-line geometry (MapNode adjacency, equidistribution,
 # seeded scattering, fault-tolerant extraction, terrain grid)
@@ -5505,7 +5566,7 @@ def q_style_materials(sf_dir: str):
 #: across rounds without dropping any registration.
 _SAMPLE_PRIORITY = [
     # round-4 additions + operators materially changed this round
-    "road_lanes", "tileset_export", "equidistribute_points_mid",
+    "traffic_signs", "road_lanes", "tileset_export", "equidistribute_points_mid",
     "dedup_clusters", "token_count", "events_topk", "mm_image_decode",
     "dedup_minhash_lsh", "tile_rollup_z13", "fingerprint_md5",
     "read_osm_xml", "overlap_pairs_salted", "overlap_aa",

@@ -315,3 +315,55 @@ SQL_INTERP_PROBE = (
     f"(lat >= {UNI_LAT0 + INTERP_MARGIN} AND lat <= {UNI_LAT0 + UNI_LAT_SPAN - INTERP_MARGIN}"
     f" AND lon >= {UNI_LON0 + INTERP_MARGIN} AND lon <= {UNI_LON0 + UNI_LON_SPAN - INTERP_MARGIN})"
 )
+
+
+# ---------------------------------------------------------------------------
+# traffic-sign tag values (deterministic per doc; numpy + SQL mirrors)
+# ---------------------------------------------------------------------------
+# Nine templates by doc_id % 9 exercising every TrafficSignIdentifier
+# branch: human-readable, country+subtype+bracket, multi-sign lists with
+# stray spaces, letter-suffixed non-subtypes, a type whose digits START
+# with the sub-type (the String.replace double-removal case), and empty.
+
+def traffic_sign_values(doc_ids) -> "np.ndarray":
+    import numpy as np
+
+    d = np.asarray(doc_ids, dtype=np.int64)
+    s = lambda x: np.char.mod("%d", x)  # noqa: E731
+    t = d % 9
+    cat = np.char.add
+    return np.select(
+        [t == 0, t == 1, t == 2, t == 3, t == 4, t == 5, t == 6, t == 7],
+        [
+            np.full(len(d), "city_limit", dtype=object).astype(str),
+            cat(cat(cat(cat(cat("DE:", s(200 + d % 300)), "-"),
+                        s(10 + d % 90)), cat("[", s(d % 1000))), "]"),
+            cat(cat(cat(cat(cat("DE:", s(260 + d % 30)), ",1020-"),
+                        s(30 + d % 60)), cat("; 265[3.", s(d % 10))), "] "),
+            np.full(len(d), "stop;give_way", dtype=object).astype(str),
+            cat("GB:", s(900 + d % 100)),
+            cat(cat("US:R1-", s(1 + d % 9)), "a"),
+            cat(cat(cat("FI:", s(300 + d % 100)), cat("[", s(d % 50))), "]"),
+            cat(cat("DE:", s((10 + d % 90) * 10 + d % 10)), cat("-", s(10 + d % 90))),
+        ],
+        default="",
+    ).astype(str)
+
+
+#: the identical templates as a SQL CASE over doc_id
+TRAFFIC_SIGN_VALUE_SQL = """CASE doc_id % 9
+  WHEN 0 THEN 'city_limit'
+  WHEN 1 THEN 'DE:' || CAST(200 + doc_id % 300 AS VARCHAR) || '-'
+           || CAST(10 + doc_id % 90 AS VARCHAR)
+           || '[' || CAST(doc_id % 1000 AS VARCHAR) || ']'
+  WHEN 2 THEN 'DE:' || CAST(260 + doc_id % 30 AS VARCHAR) || ',1020-'
+           || CAST(30 + doc_id % 60 AS VARCHAR)
+           || '; 265[3.' || CAST(doc_id % 10 AS VARCHAR) || '] '
+  WHEN 3 THEN 'stop;give_way'
+  WHEN 4 THEN 'GB:' || CAST(900 + doc_id % 100 AS VARCHAR)
+  WHEN 5 THEN 'US:R1-' || CAST(1 + doc_id % 9 AS VARCHAR) || 'a'
+  WHEN 6 THEN 'FI:' || CAST(300 + doc_id % 100 AS VARCHAR)
+           || '[' || CAST(doc_id % 50 AS VARCHAR) || ']'
+  WHEN 7 THEN 'DE:' || CAST((10 + doc_id % 90) * 10 + doc_id % 10 AS VARCHAR)
+           || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+  ELSE '' END"""
