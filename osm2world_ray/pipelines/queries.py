@@ -1706,6 +1706,45 @@ def q_mm_image_decode(sf_dir: str):
 
 
 @register(
+    "mm_image_resize",
+    f"""
+    WITH d AS ({_PNG_DIMS_SQL}),
+    plan AS (
+      SELECT doc_id, w, h, c,
+             (w * (16000 // greatest(w, h))) // 1000 AS out_w,
+             (h * (16000 // greatest(w, h))) // 1000 AS out_h
+      FROM d
+    ),
+    px AS (SELECT doc_id, w, h, c, out_w, out_h,
+                  unnest(range(0, out_w)) AS x FROM plan),
+    pxy AS (SELECT *, unnest(range(0, out_h)) AS y FROM px),
+    pxyc AS (SELECT *, unnest(range(0, c)) AS ch FROM pxy)
+    SELECT doc_id, out_w, out_h,
+           CAST(sum((((x * w) // out_w) * 7 + ((y * h) // out_h) * 13
+                     + doc_id * 11 + ch * 29) % 256) AS BIGINT)
+             AS out_pix_sum,
+           CAST(0 AS BIGINT) AS error
+    FROM pxyc GROUP BY 1, 2, 3
+    """,
+)
+def q_mm_image_resize(sf_dir: str):
+    """REAL image resize as an actor-pool stage: PNG decode +
+    nearest-neighbor resample (floor index map, fit-longest-side to 16)
+    + resampled pixel sum, one per-payload walk. The oracle replays
+    the resample arithmetic over the synth closed-form pixels."""
+    from ..stages.multimodal import MM_BATCH_SIZE, ImageResize
+
+    return _png_payloads_ds(sf_dir).map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"target": 16},
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+@register(
     "mm_resize_plan",
     f"""
     WITH dec AS (
@@ -5568,6 +5607,7 @@ _SAMPLE_PRIORITY = [
     # round-4 additions + operators materially changed this round
     "traffic_signs", "road_lanes", "tileset_export", "equidistribute_points_mid",
     "dedup_clusters", "token_count", "events_topk", "mm_image_decode",
+    "mm_image_resize",
     "dedup_minhash_lsh", "tile_rollup_z13", "fingerprint_md5",
     "read_osm_xml", "overlap_pairs_salted", "overlap_aa",
     "overlap_components", "enforce_ele",

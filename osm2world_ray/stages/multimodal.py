@@ -118,6 +118,60 @@ class ImageDecode:
         )
 
 
+class ImageResize:
+    """(id, payload) -> REAL nearest-neighbor resample: decode the PNG,
+    fit the longest side to ``target`` (integer milli-scale, the
+    :func:`resize_plan` rule), gather resampled pixels with the floor
+    index map ``src = (dst * src_dim) // dst_dim``, and emit the
+    resampled buffer's dims + pixel sum. The index map is exactly
+    SQL-expressible, so synthetic closed-form images have a real
+    oracle. Decode+resample run in one per-payload walk (PNG decode is
+    inherently per-payload); everything per-pixel is numpy."""
+
+    def __init__(self, *, target: int = RESIZE_TARGET,
+                 id_col: str = "doc_id", payload_col: str = "payload"):
+        from ..functions.png import decode_png
+
+        self.target = target
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.decode = decode_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(batch)
+        ow = np.zeros(n, dtype=np.int64)
+        oh = np.zeros(n, dtype=np.int64)
+        ps = np.zeros(n, dtype=np.int64)
+        err = np.zeros(n, dtype=np.int64)
+        t = self.target
+        for i in range(n):
+            try:
+                w, h, _c, px = self.decode(col[i].as_py())  # px: (h, w, c)
+            except Exception:
+                err[i] = 1
+                continue
+            scale_mil = (t * 1000) // max(w, h)
+            out_w = (w * scale_mil) // 1000
+            out_h = (h * scale_mil) // 1000
+            sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+            sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+            res = px[sy][:, sx, :]
+            ow[i], oh[i] = out_w, out_h
+            ps[i] = int(res.sum(dtype=np.int64))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "out_w": pa.array(ow),
+                "out_h": pa.array(oh),
+                "out_pix_sum": pa.array(ps),
+                "error": pa.array(err),
+            }
+        )
+
+
 def resize_plan(batch: pa.Table, *, target: int = RESIZE_TARGET) -> pa.Table:
     """Decoded dims -> resize plan (fit longest side to ``target``,
     integer milli-scale). Pure-metadata stage; the pixel resample would

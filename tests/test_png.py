@@ -86,3 +86,42 @@ def test_decode_stage_real_and_error_rows():
                     "payload": pa.array([b"garbage"], type=pa.binary())})
     out = ImageDecode()(bad)
     assert out["error"][0].as_py() == 1 and out["pix_sum"][0].as_py() == 0
+
+
+def test_image_resize_nearest_neighbor():
+    """ImageResize = decode + floor-index-map gather + sum, checked
+    against a direct numpy resample of the same synthetic image."""
+    import pyarrow as pa
+
+    from osm2world_ray.functions.png import encode_png
+    from osm2world_ray.stages.multimodal import ImageResize
+
+    w, h, c, t = 10, 7, 3, 16
+    px = ((np.arange(w)[None, :, None] * 7 + np.arange(h)[:, None, None] * 13
+           + np.arange(c)[None, None, :] * 29) % 256).astype(np.uint8)
+    payload = encode_png(px)
+    out = ImageResize(target=t)(
+        pa.table({"doc_id": pa.array([1]), "payload": pa.array([payload], type=pa.binary())})
+    )
+    scale = (t * 1000) // max(w, h)
+    out_w, out_h = (w * scale) // 1000, (h * scale) // 1000
+    sx = (np.arange(out_w) * w) // out_w
+    sy = (np.arange(out_h) * h) // out_h
+    want = int(px[sy][:, sx, :].sum(dtype=np.int64))
+    assert out["out_w"].to_pylist() == [out_w]
+    assert out["out_h"].to_pylist() == [out_h]
+    assert out["out_pix_sum"].to_pylist() == [want]
+    assert out["error"].to_pylist() == [0]
+
+
+def test_image_resize_error_row():
+    import pyarrow as pa
+
+    from osm2world_ray.stages.multimodal import ImageResize
+
+    out = ImageResize()(
+        pa.table({"doc_id": pa.array([7]),
+                  "payload": pa.array([b"not a png"], type=pa.binary())})
+    )
+    assert out["error"].to_pylist() == [1]
+    assert out["out_pix_sum"].to_pylist() == [0]
