@@ -870,6 +870,106 @@ def q_dedup_jaccard_pairs(sf_dir: str):
     )
 
 
+def _ngram_decontaminate_sql() -> str:
+    from ..functions import polyhash as ph
+
+    return f"""
+    WITH {ph.SQL_BP_CTE},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({ph.SQL_SHINGLES}) AS s FROM toks),
+    hashes AS (SELECT DISTINCT doc_id, {ph.sql_hash('s')} AS h FROM sh, bp),
+    eval_h AS (SELECT DISTINCT h FROM hashes WHERE doc_id % 100 = 7),
+    cnt AS (
+      SELECT ha.doc_id, count(*) AS n_sh,
+             count(e.h) AS n_cont
+      FROM hashes ha LEFT JOIN eval_h e ON e.h = ha.h
+      WHERE ha.doc_id % 100 <> 7
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_cont AS BIGINT) AS n_contaminated,
+           CAST(CASE WHEN 2 * n_cont >= n_sh THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM cnt
+    """
+
+
+@register("ngram_decontaminate", _ngram_decontaminate_sql())
+def q_ngram_decontaminate(sf_dir: str):
+    """Train/eval decontamination: per TRAIN document, how many of its
+    distinct trigram-shingle hashes appear anywhere in the EVAL set
+    (here the deterministic doc_id%100==7 slice), plus a >=50%-overlap
+    flag — the pretraining-corpus decontamination op.
+
+    Scale shape: the EVAL side is small by nature (an eval suite, not
+    the corpus), so its distinct shingle-hash set is pulled once to the
+    driver and BROADCAST via ``ray.put`` (the small-side-lookup
+    discipline — same as IVF centroids and texture slots); the train
+    corpus streams through one vectorized searchsorted probe per
+    batch. No shuffle at all."""
+    import ray
+
+    from ..stages.dedup import ShingleHashes
+
+    def _slice(want_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 100) == 7
+            return t.filter(pa.array(m if want_eval else ~m))
+
+        return fn
+
+    eval_sh = (
+        datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+        .map_batches(_slice(True), batch_format="pyarrow")
+        .map_batches(ShingleHashes, batch_format="pyarrow",
+                     concurrency=(1, 4), num_cpus=1)
+    )
+    parts = [
+        np.unique(t["sh"].combine_chunks().flatten().to_numpy())
+        for t in [ray.get(r) for r in eval_sh.to_arrow_refs()]
+        if len(t)
+    ]
+    eval_sorted = (
+        np.unique(np.concatenate(parts)) if parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    eval_ref = ray.put(eval_sorted)
+
+    def probe(t: pa.Table) -> pa.Table:
+        from ..stages._util import resolve_ref
+
+        ev = resolve_ref(eval_ref)
+        sh = t["sh"].combine_chunks()
+        lens = pa.compute.list_value_length(sh).to_numpy().astype(np.int64)
+        flat = sh.flatten().to_numpy()
+        if len(ev):
+            pos = np.clip(np.searchsorted(ev, flat), 0, len(ev) - 1)
+            hit = (ev[pos] == flat).astype(np.int64)
+        else:
+            hit = np.zeros(len(flat), dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum(hit)))
+        off = np.concatenate(([0], np.cumsum(lens)))
+        n_cont = cum[off[1:]] - cum[off[:-1]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": pa.array(lens),
+                "n_contaminated": pa.array(n_cont),
+                "contaminated": pa.array(
+                    (2 * n_cont >= lens).astype(np.int64)
+                ),
+            }
+        )
+
+    train = (
+        datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+        .map_batches(_slice(False), batch_format="pyarrow")
+        .map_batches(ShingleHashes, batch_format="pyarrow",
+                     concurrency=(1, 16), num_cpus=1)
+    )
+    return train.map_batches(probe, batch_format="pyarrow")
+
+
 def _minhash_lsh_sql(threshold: float = 0.8) -> str:
     return f"""
     WITH {_minhash_cte()}
@@ -5607,6 +5707,7 @@ _SAMPLE_PRIORITY = [
     # round-4 additions + operators materially changed this round
     "traffic_signs", "road_lanes", "tileset_export", "equidistribute_points_mid",
     "dedup_clusters", "token_count", "events_topk", "mm_image_decode",
+    "ngram_decontaminate",
     "mm_image_resize",
     "dedup_minhash_lsh", "tile_rollup_z13", "fingerprint_md5",
     "read_osm_xml", "overlap_pairs_salted", "overlap_aa",
