@@ -3312,7 +3312,7 @@ def q_events_tumbling(sf_dir: str):
     ds = datasets.events_ds(sf_dir)
     ds = ds.map_batches(tumbling_partial, batch_format="pyarrow")
     return _bucket_groups(
-        ds, tumbling_combine, batch_format="pandas"
+        ds, tumbling_combine, batch_format="pyarrow"
     )
 
 
@@ -3382,7 +3382,7 @@ def q_events_sessionize(sf_dir: str):
     from ..stages.windows import sessionize
 
     return _bucket_groups(
-        _events_bucketed(sf_dir), sessionize, batch_format="pandas"
+        _events_bucketed(sf_dir), sessionize, batch_format="pyarrow"
     )
 
 
@@ -3409,7 +3409,7 @@ def q_events_asof(sf_dir: str):
     from ..stages.windows import asof_join
 
     return _bucket_groups(
-        _events_bucketed(sf_dir), asof_join, batch_format="pandas"
+        _events_bucketed(sf_dir), asof_join, batch_format="pyarrow"
     )
 
 
@@ -5003,7 +5003,7 @@ def q_events_hopping(sf_dir: str):
     ds = datasets.events_ds(sf_dir)
     ds = ds.map_batches(hopping_partial, batch_format="pyarrow")
     return _bucket_groups(
-        ds, tumbling_combine, batch_format="pandas"
+        ds, tumbling_combine, batch_format="pyarrow"
     )
 
 

@@ -15,7 +15,6 @@ contract (same-user rows co-locate via the bucket key).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .overlaps import bucket_of
@@ -50,11 +49,24 @@ def tumbling_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def tumbling_combine(group: pd.DataFrame) -> pd.DataFrame:
-    out = group.groupby(["win", "event_type"], as_index=False, sort=False).agg(
-        sum_cents=("sum_cents", "sum"), n=("n", "sum")
+def tumbling_combine(group) -> pa.Table:
+    """Merge window partials (Arrow in/out, pyarrow C++ group_by)."""
+    t = (
+        group
+        if isinstance(group, pa.Table)
+        else pa.Table.from_pandas(group, preserve_index=False)
     )
-    return out.astype({"win": np.int64, "sum_cents": np.int64, "n": np.int64})
+    g = t.select(["win", "event_type", "sum_cents", "n"]).group_by(
+        ["win", "event_type"]
+    ).aggregate([("sum_cents", "sum"), ("n", "sum")])
+    return pa.table(
+        {
+            "win": g["win"].cast(pa.int64()),
+            "event_type": g["event_type"],
+            "sum_cents": g["sum_cents_sum"].cast(pa.int64()),
+            "n": g["n_sum"].cast(pa.int64()),
+        }
+    )
 
 
 def topk_partial(batch: pa.Table) -> pa.Table:
@@ -117,22 +129,24 @@ def topk_by_window(group, *, k: int = 3) -> pa.Table:
     )
 
 
-def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+def sessionize(group) -> pa.Table:
     """Bucket of users -> per-event session ids: a session breaks when
     the gap to the user's previous event exceeds SESSION_GAP_US;
     session_id = the session's first event_id. Vectorized segmented
-    scan over (user, ts)-sorted rows."""
+    scan over (user, ts)-sorted rows; Arrow in/out."""
+    from .overlaps import col_np
+
     if len(group) == 0:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": pd.Series(dtype=np.int64),
-                "user_id": pd.Series(dtype=np.int64),
-                "session_id": pd.Series(dtype=np.int64),
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "session_id": pa.array([], type=pa.int64()),
             }
         )
-    user = group["user_id"].to_numpy(dtype=np.int64)
-    ts = group["ts_us"].to_numpy(dtype=np.int64)
-    eid = group["event_id"].to_numpy(dtype=np.int64)
+    user = col_np(group, "user_id", np.int64)
+    ts = col_np(group, "ts_us", np.int64)
+    eid = col_np(group, "event_id", np.int64)
     order = np.lexsort((eid, ts, user))
     user, ts, eid = user[order], ts[order], eid[order]
     new_session = np.ones(len(user), dtype=bool)
@@ -142,39 +156,46 @@ def sessionize(group: pd.DataFrame) -> pd.DataFrame:
     starts = np.nonzero(new_session)[0]
     lens = np.diff(np.concatenate((starts, [len(user)])))
     session_id = np.repeat(eid[starts], lens)
-    return pd.DataFrame(
-        {"event_id": eid, "user_id": user, "session_id": session_id}
+    return pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(user),
+            "session_id": pa.array(session_id),
+        }
     )
 
 
-def asof_join(group: pd.DataFrame, *, left_type: str = "click",
-              right_type: str = "error") -> pd.DataFrame:
+def asof_join(group, *, left_type: str = "click",
+              right_type: str = "error") -> pa.Table:
     """Bucket of users -> for each ``left_type`` event, the most recent
     strictly-earlier ``right_type`` event of the SAME user (as-of
     backward join; ties on ts broken by max event_id). Vectorized via
-    per-user searchsorted on a combined (ts, event_id) rank."""
-    empty = pd.DataFrame(
+    per-user searchsorted on a combined (ts, event_id) rank; Arrow
+    in/out."""
+    from .overlaps import col_np
+
+    empty = pa.table(
         {
-            "event_id": pd.Series(dtype=np.int64),
-            "user_id": pd.Series(dtype=np.int64),
-            "asof_event_id": pd.Series(dtype=np.int64),
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "asof_event_id": pa.array([], type=pa.int64()),
         }
     )
     if len(group) == 0:
         return empty
-    etype = group["event_type"].to_numpy()
-    left = group[etype == left_type]
-    right = group[etype == right_type]
-    if len(left) == 0:
+    if isinstance(group, pa.Table):
+        etype = np.asarray(group["event_type"].to_pylist(), dtype=object)
+    else:
+        etype = group["event_type"].to_numpy()
+    user = col_np(group, "user_id", np.int64)
+    ts = col_np(group, "ts_us", np.int64)
+    eid = col_np(group, "event_id", np.int64)
+    li = np.nonzero(etype == left_type)[0]
+    ri = np.nonzero(etype == right_type)[0]
+    if len(li) == 0 or len(ri) == 0:
         return empty
-    if len(right) == 0:
-        return empty
-    lu = left["user_id"].to_numpy(dtype=np.int64)
-    lt = left["ts_us"].to_numpy(dtype=np.int64)
-    le = left["event_id"].to_numpy(dtype=np.int64)
-    ru = right["user_id"].to_numpy(dtype=np.int64)
-    rt = right["ts_us"].to_numpy(dtype=np.int64)
-    re_ = right["event_id"].to_numpy(dtype=np.int64)
+    lu, lt, le = user[li], ts[li], eid[li]
+    ru, rt, re_ = user[ri], ts[ri], eid[ri]
     r_order = np.lexsort((re_, rt, ru))
     ru, rt, re_ = ru[r_order], rt[r_order], re_[r_order]
     # strictly-earlier probe, vectorized: one searchsorted over a
@@ -191,11 +212,11 @@ def asof_join(group: pd.DataFrame, *, left_type: str = "click",
     idx = np.searchsorted(c_right, c_left, side="left") - 1
     found = (idx >= 0) & (ru[np.maximum(idx, 0)] == lu)
     idx = idx[found]
-    return pd.DataFrame(
+    return pa.table(
         {
-            "event_id": le[found],
-            "user_id": lu[found],
-            "asof_event_id": re_[idx],
+            "event_id": pa.array(le[found]),
+            "user_id": pa.array(lu[found]),
+            "asof_event_id": pa.array(re_[idx]),
         }
     )
 
