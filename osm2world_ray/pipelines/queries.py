@@ -866,7 +866,7 @@ def q_dedup_jaccard_pairs(sf_dir: str):
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     return _bucket_groups(
-        ds, make_salted_jaccard_pairs(n_blocks), batch_format="pandas"
+        ds, make_salted_jaccard_pairs(n_blocks), batch_format="pyarrow"
     )
 
 
@@ -1291,7 +1291,7 @@ def q_dedup_simhash_pairs(sf_dir: str):
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
     return _bucket_groups(
-        bands, hamming_candidate_pairs, batch_format="pandas"
+        bands, hamming_candidate_pairs, batch_format="pyarrow"
     )
 
 
@@ -1501,7 +1501,7 @@ def q_dedup_embedding_cosine(sf_dir: str):
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     return _bucket_groups(
-        ds, make_blocked_cosine_pairs(n_blocks, 0.35), batch_format="pandas"
+        ds, make_blocked_cosine_pairs(n_blocks, 0.35), batch_format="pyarrow"
     )
 
 
@@ -1560,7 +1560,7 @@ def q_dedup_embedding_lsh(sf_dir: str):
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
     return _bucket_groups(
-        ds, lambda g: lsh_bucket_cosine_pairs(g, threshold=0.35), batch_format="pandas"
+        ds, lambda g: lsh_bucket_cosine_pairs(g, threshold=0.35), batch_format="pyarrow"
     )
 
 

@@ -25,7 +25,6 @@ from __future__ import annotations
 from ._util import resolve_ref as _resolve
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 DIM = 64
@@ -130,6 +129,17 @@ def _buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     )
 
 
+
+def _emb_matrix(group) -> np.ndarray:
+    """(n, d) float64 embedding matrix from either an Arrow list column
+    (zero-copy flatten + reshape) or a pandas object column."""
+    if isinstance(group, pa.Table):
+        col = group["emb"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(col), -1)
+    return np.stack(group["emb"].to_numpy()).astype(np.float64)
+
+
 def make_blocked_cosine_pairs(n_blocks: int, threshold: float):
     """Per-bucket kernel for the EXACT cosine near-dup self-join over
     triangle-block-salted rows (``dedup.salted_block_rows`` on vec_id):
@@ -139,20 +149,22 @@ def make_blocked_cosine_pairs(n_blocks: int, threshold: float):
     construction; exactness is the point, the LSH variant is the
     sub-quadratic path)."""
 
-    def kernel(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def kernel(group) -> pa.Table:
+        from .overlaps import col_np
+
+        empty = pa.table(
             {
-                "vec_a": pd.Series(dtype=np.int64),
-                "vec_b": pd.Series(dtype=np.int64),
-                "cos_udeg": pd.Series(dtype=np.int64),
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cos_udeg": pa.array([], type=pa.int64()),
             }
         )
         if len(group) < 2:
             return empty
-        vec = group["vec_id"].to_numpy(dtype=np.int64)
-        bi = group["blk_i"].to_numpy(dtype=np.int64)
-        bj = group["blk_j"].to_numpy(dtype=np.int64)
-        emb = _normalize(np.stack(group["emb"].to_numpy()).astype(np.float64))
+        vec = col_np(group, "vec_id", np.int64)
+        bi = col_np(group, "blk_i", np.int64)
+        bj = col_np(group, "blk_j", np.int64)
+        emb = _normalize(_emb_matrix(group))
         order = np.lexsort((vec, bj, bi))
         vec, bi, bj, emb = vec[order], bi[order], bj[order], emb[order]
         change = np.ones(len(vec), dtype=bool)
@@ -186,35 +198,36 @@ def make_blocked_cosine_pairs(n_blocks: int, threshold: float):
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         c = np.concatenate(out_c)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_a": a,
-                "vec_b": b,
-                "cos_udeg": np.floor(c * 1e6 + 0.5).astype(np.int64),
+                "vec_a": pa.array(a),
+                "vec_b": pa.array(b),
+                "cos_udeg": pa.array(np.floor(c * 1e6 + 0.5).astype(np.int64)),
             }
         )
 
     return kernel
 
 
-def lsh_bucket_cosine_pairs(group: pd.DataFrame, *, threshold: float
-                            ) -> pd.DataFrame:
+def lsh_bucket_cosine_pairs(group, *, threshold: float) -> pa.Table:
     """Per-bucket kernel for the LSH-bucketed near-dup join: rows carry
     (vec_id, emb, lsh_bucket); pairs are scored only within an LSH
     bucket — the sub-quadratic scale path (each vector lives in exactly
     one bucket, so no cross-bucket dedup is needed)."""
-    empty = pd.DataFrame(
+    from .overlaps import col_np
+
+    empty = pa.table(
         {
-            "vec_a": pd.Series(dtype=np.int64),
-            "vec_b": pd.Series(dtype=np.int64),
-            "cos_udeg": pd.Series(dtype=np.int64),
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cos_udeg": pa.array([], type=pa.int64()),
         }
     )
     if len(group) < 2:
         return empty
-    vec = group["vec_id"].to_numpy(dtype=np.int64)
-    lb = group["lsh_bucket"].to_numpy(dtype=np.int64)
-    emb = _normalize(np.stack(group["emb"].to_numpy()).astype(np.float64))
+    vec = col_np(group, "vec_id", np.int64)
+    lb = col_np(group, "lsh_bucket", np.int64)
+    emb = _normalize(_emb_matrix(group))
     order = np.lexsort((vec, lb))
     vec, lb, emb = vec[order], lb[order], emb[order]
     change = np.ones(len(vec), dtype=bool)
@@ -234,12 +247,12 @@ def lsh_bucket_cosine_pairs(group: pd.DataFrame, *, threshold: float
         out_c.append(sims[ii, jj])
     if not out_a:
         return empty
-    return pd.DataFrame(
+    return pa.table(
         {
-            "vec_a": np.concatenate(out_a),
-            "vec_b": np.concatenate(out_b),
-            "cos_udeg": np.floor(np.concatenate(out_c) * 1e6 + 0.5).astype(
-                np.int64
+            "vec_a": pa.array(np.concatenate(out_a)),
+            "vec_b": pa.array(np.concatenate(out_b)),
+            "cos_udeg": pa.array(
+                np.floor(np.concatenate(out_c) * 1e6 + 0.5).astype(np.int64)
             ),
         }
     )

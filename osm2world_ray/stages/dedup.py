@@ -360,27 +360,27 @@ def simhash_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def hamming_candidate_pairs(group: pd.DataFrame,
-                            threshold: int = HAM_THRESHOLD) -> pd.DataFrame:
+def hamming_candidate_pairs(group,
+                            threshold: int = HAM_THRESHOLD) -> pa.Table:
     """Bucket of simhash band rows -> pairs with Hamming distance <=
     threshold, deduped by first-matching-band ownership (same rule as
     the MinHash candidates — the band slices of the two fingerprints
-    decide the owner, derivable in-bucket)."""
-    from .overlaps import _within_group_pairs
+    decide the owner, derivable in-bucket). Arrow in/out."""
+    from .overlaps import _within_group_pairs, col_np
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "doc_a": pd.Series(dtype=np.int64),
-            "doc_b": pd.Series(dtype=np.int64),
-            "hamming": pd.Series(dtype=np.int64),
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
         }
     )
     if len(group) < 2:
         return empty
-    band = group["band"].to_numpy(dtype=np.int64)
-    key = group["band_key"].to_numpy(dtype=np.int64)
-    doc = group["doc_id"].to_numpy(dtype=np.int64)
-    sim = group["simhash"].to_numpy(dtype=np.int64)
+    band = col_np(group, "band", np.int64)
+    key = col_np(group, "band_key", np.int64)
+    doc = col_np(group, "doc_id", np.int64)
+    sim = col_np(group, "simhash", np.int64)
     order = np.lexsort((doc, key, band))
     band, key, doc, sim = band[order], key[order], doc[order], sim[order]
     key_change = np.ones(len(doc), dtype=bool)
@@ -410,7 +410,9 @@ def hamming_candidate_pairs(group: pd.DataFrame,
     a, b = doc[ii], doc[jj]
     swap = a > b
     a, b = np.where(swap, b, a), np.where(swap, a, b)
-    return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": ham})
+    return pa.table(
+        {"doc_a": pa.array(a), "doc_b": pa.array(b), "hamming": pa.array(ham)}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -470,32 +472,39 @@ def salted_block_rows(batch: pa.Table, *, n_blocks: int,
 
 
 def make_salted_jaccard_pairs(n_blocks: int, threshold: float = 0.5):
-    """Returns the per-bucket kernel bound to the fan-out's n_blocks."""
+    """Returns the per-bucket kernel bound to the fan-out's n_blocks
+    (Arrow in/out; the source strings are factorized to int codes for
+    the grouping sort — only equality matters)."""
 
-    def kernel(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def kernel(group) -> pa.Table:
+        empty = pa.table(
             {
-                "doc_a": pd.Series(dtype=np.int64),
-                "doc_b": pd.Series(dtype=np.int64),
-                "jaccard_mil": pd.Series(dtype=np.int64),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard_mil": pa.array([], type=pa.int64()),
             }
         )
         if len(group) < 2:
             return empty
-        src = group["source"].to_numpy()
-        bi = group["blk_i"].to_numpy(dtype=np.int64)
-        bj = group["blk_j"].to_numpy(dtype=np.int64)
-        doc = group["doc_id"].to_numpy(dtype=np.int64)
+        from .overlaps import _within_group_pairs, col_np
+
+        if isinstance(group, pa.Table):
+            src_raw = np.asarray(group["source"].to_pylist(), dtype=object)
+        else:
+            src_raw = group["source"].to_numpy()
+        _, src = np.unique(src_raw, return_inverse=True)
+        bi = col_np(group, "blk_i", np.int64)
+        bj = col_np(group, "blk_j", np.int64)
+        doc = col_np(group, "doc_id", np.int64)
         order = np.lexsort((doc, bj, bi, src))
         src, bi, bj, doc = src[order], bi[order], bj[order], doc[order]
         bm = np.stack(
-            [group[f"bm{w}"].to_numpy() for w in range(4)], axis=1
-        ).astype(np.uint64)[order]
+            [col_np(group, f"bm{w}", np.uint64) for w in range(4)], axis=1
+        )[order]
         key_change = np.ones(len(doc), dtype=bool)
         key_change[1:] = (
             (src[1:] != src[:-1]) | (bi[1:] != bi[:-1]) | (bj[1:] != bj[:-1])
         )
-        from .overlaps import _within_group_pairs
 
         sizes = np.diff(np.concatenate((np.nonzero(key_change)[0], [len(doc)])))
         ii, jj = _within_group_pairs(sizes)
@@ -516,11 +525,13 @@ def make_salted_jaccard_pairs(n_blocks: int, threshold: float = 0.5):
         a, b = doc[ii], doc[jj]
         swap = a > b
         a, b = np.where(swap, b, a), np.where(swap, a, b)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": a,
-                "doc_b": b,
-                "jaccard_mil": np.floor(jac * 1000 + 0.5).astype(np.int64),
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
+                "jaccard_mil": pa.array(
+                    np.floor(jac * 1000 + 0.5).astype(np.int64)
+                ),
             }
         )
 
