@@ -909,7 +909,7 @@ def q_ngram_decontaminate(sf_dir: str):
     batch. No shuffle at all."""
     import ray
 
-    from ..stages.dedup import ShingleHashes
+    from ..stages.dedup import shingle_hashes_batch
 
     def _slice(want_eval: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -921,8 +921,7 @@ def q_ngram_decontaminate(sf_dir: str):
     eval_sh = (
         datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
         .map_batches(_slice(True), batch_format="pyarrow")
-        .map_batches(ShingleHashes, batch_format="pyarrow",
-                     concurrency=(1, 4), num_cpus=1)
+        .map_batches(shingle_hashes_batch, batch_format="pyarrow")
     )
     parts = [
         np.unique(t["sh"].combine_chunks().flatten().to_numpy())
@@ -964,8 +963,7 @@ def q_ngram_decontaminate(sf_dir: str):
     train = (
         datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
         .map_batches(_slice(False), batch_format="pyarrow")
-        .map_batches(ShingleHashes, batch_format="pyarrow",
-                     concurrency=(1, 16), num_cpus=1)
+        .map_batches(shingle_hashes_batch, batch_format="pyarrow")
     )
     return train.map_batches(probe, batch_format="pyarrow")
 
@@ -1028,17 +1026,15 @@ def _minhash_pairs_ds(sf_dir: str):
     """
     from ..stages import overlaps
     from ..stages.dedup import (
-        MinHashStage,
-        ShingleHashes,
+        minhash_band_rows_batch,
+        shingle_hashes_batch,
         attach_shingles,
         lsh_candidate_pairs,
         verify_pairs,
     )
 
     docs = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
-    bands = docs.map_batches(
-        MinHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
-    )
+    bands = docs.map_batches(minhash_band_rows_batch, batch_format="pyarrow")
 
     def add_bucket(b: pa.Table) -> pa.Table:
         key = b["band_hash"].to_numpy() * 8 + b["band"].to_numpy()
@@ -1051,7 +1047,7 @@ def _minhash_pairs_ds(sf_dir: str):
 
     def sh_ds():
         return datasets.documents_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
-            ShingleHashes, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+            shingle_hashes_batch, batch_format="pyarrow"
         )
 
     _SH_TYPE = pa.list_(pa.int64())
@@ -1210,12 +1206,10 @@ def _simhash_sql() -> str:
 def q_dedup_simhash(sf_dir: str):
     """64-bit SimHash fingerprint per document — vectorized polyhash
     bit hashes, majority-vote pack; bit-identical SQL oracle."""
-    from ..stages.dedup import SimHashStage
+    from ..stages.dedup import simhash_batch
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
-    )
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
 
 
 def _simhash_corpus_sql() -> str:
@@ -1256,7 +1250,7 @@ def q_dedup_simhash_pairs(sf_dir: str):
     (so real near-dups exist at every scale)."""
     from ..stages import overlaps
     from ..stages.dedup import (
-        SimHashStage,
+        simhash_batch,
         hamming_candidate_pairs,
         simhash_band_rows,
     )
@@ -1280,9 +1274,7 @@ def q_dedup_simhash_pairs(sf_dir: str):
         )
 
     corpus = docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
-    sims = corpus.map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
-    )
+    sims = corpus.map_batches(simhash_batch, batch_format="pyarrow")
     bands = sims.map_batches(simhash_band_rows, batch_format="pyarrow")
 
     def add_bucket(b: pa.Table) -> pa.Table:

@@ -569,3 +569,34 @@ def charset_jaccard_pairs(group: pd.DataFrame, *, threshold: float = 0.5
             "jaccard_mil": np.floor(jac[keep] * 1000 + 0.5).astype(np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# plain-function forms of the stateless signature stages
+# ---------------------------------------------------------------------------
+# MinHashStage / ShingleHashes / SimHashStage hold NO per-actor state
+# (no model, no compiled pattern — everything lives in module-level
+# polyhash constants), so they belong in TASK-pool map_batches, not
+# actor pools: a stateless actor pool pays spin-up per query and, at
+# small cpu counts, can hold every CPU while the exchange tasks that
+# feed it starve (observed as an intermittent full-suite deadlock at
+# num_cpus=4: three idle pools x min-1 actor + sort tasks with nothing
+# left to schedule on). Actor pools remain the right shape for stages
+# with real per-actor state (extractors' compiled regexes, Delaunay
+# builds, SRTM caches).
+
+_MINHASH_STAGE = MinHashStage()
+_SHINGLE_STAGE = ShingleHashes()
+_SIMHASH_STAGE = SimHashStage()
+
+
+def minhash_band_rows_batch(batch: pa.Table) -> pa.Table:
+    return _MINHASH_STAGE(batch)
+
+
+def shingle_hashes_batch(batch: pa.Table) -> pa.Table:
+    return _SHINGLE_STAGE(batch)
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    return _SIMHASH_STAGE(batch)

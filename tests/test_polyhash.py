@@ -118,7 +118,7 @@ def test_hamming_band_join_finds_close_pairs():
     t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
                   "simhash": pa.array(sims)})
     bands = dd.simhash_band_rows(t).to_pandas()
-    out = dd.hamming_candidate_pairs(bands)
+    out = dd.hamming_candidate_pairs(bands).to_pandas()
     assert list(zip(out["doc_a"], out["doc_b"], out["hamming"])) == [(1, 2, 1)]
 
 
@@ -145,7 +145,10 @@ def test_salted_jaccard_equals_unsalted_kernel():
     n_blocks = 3
     fanned = dd.salted_block_rows(base, n_blocks=n_blocks).to_pandas()
     kern = dd.make_salted_jaccard_pairs(n_blocks)
-    got = kern(fanned).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    got = (
+        kern(fanned).to_pandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(got, exp)
 
 
