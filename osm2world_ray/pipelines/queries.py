@@ -1309,11 +1309,11 @@ _STOPWORDS_SQL = "'the','and','of','to','a','in','is','that','it','for'"
 def q_text_quality(sf_dir: str):
     """Quality-scoring signals per document (token counts, stopword
     ratio inputs, BPE-ish regex token count) — integer-only outputs."""
-    from ..stages.textstats import QualityScore
+    from ..stages.textstats import quality_score_batch
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
-        QualityScore, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+        quality_score_batch, batch_format="pandas"
     )
 
 
@@ -1385,11 +1385,11 @@ def _lang_id_sql() -> str:
 def q_lang_id(sf_dir: str):
     """Stopword-profile language guess per document (strict-majority
     hit count, profile order breaks ties, zero hits -> 'und')."""
-    from ..stages.textstats import LangId
+    from ..stages.textstats import lang_id_batch
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+        lang_id_batch, batch_format="pandas"
     )
 
 
@@ -1574,11 +1574,11 @@ def q_fingerprint_rolling(sf_dir: str):
     """Document fingerprints: md5 + the 31-bit polynomial rolling hash
     of the first 64 chars (the shingle-pipeline primitive), both with
     exact SQL mirrors."""
-    from ..stages.textstats import Fingerprint
+    from ..stages.textstats import fingerprint_batch
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
-        Fingerprint, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+        fingerprint_batch, batch_format="pyarrow"
     )
 
 

@@ -251,3 +251,24 @@ class Fingerprint:
                 "head_hash": hh,
             }
         )
+
+
+# plain-function forms: these stages hold only module-constant state
+# (stopword arrays), so they run as fused task-pool map_batches, not
+# actor pools (see stages/dedup.py tail note: stateless pools cost
+# spin-up, block fusion, and can deadlock small-cpu sessions)
+_QUALITY_STAGE = QualityScore()
+_LANGID_STAGE = LangId()
+_FINGERPRINT_STAGE = Fingerprint()
+
+
+def quality_score_batch(batch):
+    return _QUALITY_STAGE(batch)
+
+
+def lang_id_batch(batch):
+    return _LANGID_STAGE(batch)
+
+
+def fingerprint_batch(batch):
+    return _FINGERPRINT_STAGE(batch)
