@@ -223,13 +223,20 @@ def _prepare_exchange_input(sf_dir: str, reps: int) -> str:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     from osm2world_ray.pipelines import datasets
     from osm2world_ray.stages import tile_assign
-    from osm2world_ray.stages.rollup import partial_tile_url_counts
+    from osm2world_ray.stages.rollup import (
+        exchange_bucket_count,
+        partial_tile_url_counts,
+    )
 
     ds = datasets.mentions_ds(sf_dir, repeat=reps)
     ds = ds.map_batches(
         lambda b: tile_assign.assign_tiles(b, zoom=13), batch_format="pyarrow"
     ).select_columns(["tx", "ty", "url"])
-    ds = ds.map_batches(partial_tile_url_counts, batch_format="pyarrow")
+    ds = ds.map_batches(
+        partial_tile_url_counts,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": exchange_bucket_count()},
+    )
     ds.write_parquet(out)
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write("ok")
@@ -269,7 +276,11 @@ def run_scaling_exchange(sf_dir: str) -> dict:
     """The exchange-isolated scaling measurement: same partial-row
     input (pre-materialized once), sort-shuffle + rollup at 8 and 32
     cpus in fresh processes."""
-    reps = int(os.environ.get("GRAFT_EXCHANGE_REPS", "2048"))
+    # default sized so per-core work dominates fixed session/scheduling
+    # overheads at p32 (~80M partial rows): at 2048 reps (~20M rows) the
+    # p32 leg finishes in ~2s and the measurement is constant-bound —
+    # it measures Ray's session floor, not the exchange algorithm
+    reps = int(os.environ.get("GRAFT_EXCHANGE_REPS", "8192"))
     path = _prepare_exchange_input(sf_dir, reps)
     results = {}
     for cpus in (8, 32):

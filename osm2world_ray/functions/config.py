@@ -93,6 +93,14 @@ class O2WConfig:
             else "IndexGrid"
         )
 
+    def world_modules(self) -> list[str]:
+        """Enabled WorldModule list (O2WConverterImpl.java:209-241):
+        explicit ``modules`` config or the default set, minus
+        ``excludeWorldModule`` names."""
+        from .modules import resolve_modules
+
+        return resolve_modules(self)
+
     def max_log_entries(self) -> int:
         """maxLogEntries (log head+tail truncation bound)."""
         return self.get_int("maxLogEntries", 100)

@@ -107,7 +107,12 @@ def _unmarked(tags: dict) -> bool:
 def lane_layout(tags: dict, *, right_hand: bool = True) -> list[int]:
     """Flat lane-kind list (left to right makes no width difference):
     the basic layout of RoadModule.buildBasicLaneLayout minus bus bays
-    (not modeled — none of the width chain's defaults differ)."""
+    (not modeled — none of the width chain's defaults differ).
+
+    Supported input scope: the unmarked-lanes rule reads the raw
+    ``surface`` tag only — the reference's getSurfaceForRoad would also
+    derive a surface from ``tracktype`` and consult
+    ``sidewalk:both:kerb``; neither occurs in the synth tag space."""
     total, r, l = resolve_lane_counts(tags, right_hand=right_hand)
     unmarked = _unmarked(tags)
     lanes: list[int] = []

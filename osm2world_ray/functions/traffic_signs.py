@@ -24,6 +24,14 @@ the one-shot country split, Arrow ``split_pattern_regex`` + offsets for
 the sign explode, segmented reversed-cumsum for the trailing-empty
 drop, ``extract_regex``/``replace_substring_regex`` for brackets and
 sub-types. No Python-level per-row loop.
+
+Supported input scope (two corners deliberately narrower than Java,
+both unreachable with well-formed tag values): a value whose rest part
+is EMPTY after the country split (``"DE:"``) yields no ids here, where
+Java's ``"".split`` would yield one empty-sign identifier (configKey
+``SIGN_DE_``); and piece trimming strips ' ' only, where Java
+``String.trim`` strips every char <= U+0020 (tabs/control chars inside
+a piece are kept verbatim).
 """
 
 from __future__ import annotations

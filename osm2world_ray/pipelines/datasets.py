@@ -32,10 +32,15 @@ def mentions_spilled_ds(sf_dir: str):
     100 TB scale. Spilling to Parquet keeps both passes streaming:
     the second pass re-reads from disk with column pruning instead of
     holding every block pinned. The lineage key is
-    ``checkpoint.input_fingerprint`` (source parquet name/size/mtime),
-    so repeated queries in one session — and re-runs — share the spill
-    (the Scene.meshStoreCache reuse precedent, ``Scene.java:30-31``,
-    moved out of memory)."""
+    ``checkpoint.input_fingerprint`` (source parquet name/size/mtime)
+    SALTED with a code-version token over the extraction modules — a
+    spill written by an older revision of the extraction code is never
+    silently reused (the oracle sweep would otherwise validate stale
+    engine output). Completion is the atomic ``os.rename`` itself:
+    ``final`` can only exist via a successful rename of a fully
+    written tmp dir, so there is no marker to race on and no cleanup
+    that could delete a winner's fresh spill (the Scene.meshStoreCache
+    reuse precedent, ``Scene.java:30-31``, moved out of memory)."""
     import os
     import shutil
     import uuid
@@ -45,22 +50,34 @@ def mentions_spilled_ds(sf_dir: str):
     from ..state.checkpoint import input_fingerprint
 
     root = "/tmp/o2w_mentions"
-    key = input_fingerprint(sf_dir)
+    key = f"{input_fingerprint(sf_dir)}-{_extraction_code_token()}"
     final = os.path.join(root, key)
-    marker = final + ".done"
-    if not os.path.exists(marker):
+    if not os.path.isdir(final):
         os.makedirs(root, exist_ok=True)
-        if os.path.isdir(final):  # crashed writer left a bare dir
-            shutil.rmtree(final, ignore_errors=True)
         tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex}")
         mentions_ds(sf_dir).write_parquet(tmp)
         try:
             os.rename(tmp, final)
-            with open(marker, "w") as f:
-                f.write(key)
         except OSError:  # lost a rename race; the winner's spill is equal
             shutil.rmtree(tmp, ignore_errors=True)
     return rd.read_parquet(final)
+
+
+def _extraction_code_token() -> str:
+    """Hash of the source of every module the mention-extraction path
+    runs through — salts the /tmp spill key so editing the extraction
+    code invalidates old spills."""
+    import hashlib
+    import inspect
+
+    from ..sources import pages as _pages
+    from ..sources import synth as _synth
+    from ..stages import extract as _extract
+
+    h = hashlib.sha1()
+    for mod in (_extract, _pages, _synth):
+        h.update(inspect.getsource(mod).encode())
+    return h.hexdigest()[:12]
 
 
 def texts_ds(sf_dir: str, *, repeat: int = 1,
@@ -77,15 +94,17 @@ def documents_ds(sf_dir: str, *, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def events_ds(sf_dir: str):
-    """Events table (event_id, ts, user_id, event_type, value, props)."""
+def events_ds(sf_dir: str, *, columns: list[str] | None = None):
+    """Events table (event_id, ts, user_id, event_type, value, props).
+    Pass ``columns=`` per query — ``props`` is the fat payload column
+    and must not leave storage for window aggregates that ignore it."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet")
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def embeddings_ds(sf_dir: str):
+def embeddings_ds(sf_dir: str, *, columns: list[str] | None = None):
     """Embeddings table (vec_id, embedding: list<float>, label)."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)

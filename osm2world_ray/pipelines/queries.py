@@ -549,6 +549,7 @@ def _overlap_pairs_from(mentions_ds, *, urlized: bool = True):
     components pipeline that want ints anyway."""
     from ..stages import overlaps
 
+    nb = overlaps.n_shuffle_buckets()
     ds = mentions_ds.map_batches(overlaps.strip_urls, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: tile_assign.fan_out_cells(b, r=5), batch_format="pyarrow"
@@ -556,7 +557,7 @@ def _overlap_pairs_from(mentions_ds, *, urlized: bool = True):
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "bucket", pa.array(overlaps.bucket_of(b["cell"].to_numpy()))
+            "bucket", pa.array(overlaps.bucket_of(b["cell"].to_numpy(), nb))
         )
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -622,10 +623,12 @@ def q_segment_intersections(sf_dir: str):
         num_cpus=1,
     )
 
+    nb = overlaps.n_shuffle_buckets()
+
     def fan_and_bucket(b: pa.Table) -> pa.Table:
         b = tile_assign.fan_out_segment_cells(overlaps.strip_urls(b), r=5)
         return b.append_column(
-            "bucket", pa.array(overlaps.bucket_of(b["cell"].to_numpy()))
+            "bucket", pa.array(overlaps.bucket_of(b["cell"].to_numpy(), nb))
         )
 
     ds = ds.map_batches(fan_and_bucket, batch_format="pyarrow").select_columns(
@@ -774,6 +777,7 @@ def q_dedup_exact(sf_dir: str):
     from ..stages.dedup import md5_hash_batch
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    nb = overlaps.n_shuffle_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
         h = md5_hash_batch(batch)
@@ -788,21 +792,25 @@ def q_dedup_exact(sf_dir: str):
                 "md5": g["md5"],
                 "keeper_doc_id": g["doc_id_min"].cast(pa.int64()),
                 "n_copies": g["count_all"].cast(pa.int64()),
-                "bucket": pa.array(overlaps.bucket_of(key)),
+                "bucket": pa.array(overlaps.bucket_of(key, nb)),
             }
         )
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby("md5", as_index=False, sort=False).agg(
-            keeper_doc_id=("keeper_doc_id", "min"), n_copies=("n_copies", "sum")
-        )
-        return out.astype(
-            {"keeper_doc_id": np.int64, "n_copies": np.int64}
+    def combine(group: pa.Table) -> pa.Table:
+        g = group.select(["md5", "keeper_doc_id", "n_copies"]).group_by(
+            "md5"
+        ).aggregate([("keeper_doc_id", "min"), ("n_copies", "sum")])
+        return pa.table(
+            {
+                "md5": g["md5"],
+                "keeper_doc_id": g["keeper_doc_id_min"].cast(pa.int64()),
+                "n_copies": g["n_copies_sum"].cast(pa.int64()),
+            }
         )
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
     return _bucket_groups(
-        ds, combine, batch_format="pandas"
+        ds, combine, batch_format="pyarrow"
     )
 
 
@@ -852,6 +860,8 @@ def q_dedup_jaccard_pairs(sf_dir: str):
         lambda b: salted_block_rows(b, n_blocks=n_blocks), batch_format="pyarrow"
     )
 
+    nb = overlaps.n_shuffle_buckets()
+
     def add_bucket(b: pa.Table) -> pa.Table:
         from ..functions import polyhash as ph
 
@@ -862,7 +872,7 @@ def q_dedup_jaccard_pairs(sf_dir: str):
             + b["blk_i"].to_numpy() * n_blocks
             + b["blk_j"].to_numpy()
         )
-        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key, nb)))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     return _bucket_groups(
@@ -949,13 +959,17 @@ def q_ngram_decontaminate(sf_dir: str):
         cum = np.concatenate(([0], np.cumsum(hit)))
         off = np.concatenate(([0], np.cumsum(lens)))
         n_cont = cum[off[1:]] - cum[off[:-1]]
+        # a train doc with ZERO shingles (<3 tokens) emits no row —
+        # mirrors the oracle, whose hashes CTE has no rows for such
+        # docs (and avoids the dubious `2*0 >= 0 -> contaminated=1`)
+        has = lens > 0
         return pa.table(
             {
-                "doc_id": t["doc_id"],
-                "n_shingles": pa.array(lens),
-                "n_contaminated": pa.array(n_cont),
+                "doc_id": t["doc_id"].combine_chunks().filter(pa.array(has)),
+                "n_shingles": pa.array(lens[has]),
+                "n_contaminated": pa.array(n_cont[has]),
                 "contaminated": pa.array(
-                    (2 * n_cont >= lens).astype(np.int64)
+                    (2 * n_cont[has] >= lens[has]).astype(np.int64)
                 ),
             }
         )
@@ -1035,10 +1049,11 @@ def _minhash_pairs_ds(sf_dir: str):
 
     docs = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     bands = docs.map_batches(minhash_band_rows_batch, batch_format="pyarrow")
+    nb = overlaps.n_shuffle_buckets()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         key = b["band_hash"].to_numpy() * 8 + b["band"].to_numpy()
-        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key, nb)))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
     cands = _bucket_groups(
@@ -1077,7 +1092,7 @@ def _minhash_pairs_ds(sf_dir: str):
             cols["kind"] = pa.array(np.zeros(n, dtype=np.int64))
             cols["sh"] = _empty_lists(n)
             cols["bucket"] = pa.array(
-                overlaps.bucket_of(_i64(b[side]).to_numpy())
+                overlaps.bucket_of(_i64(b[side]).to_numpy(), nb)
             )
             return pa.table(cols)
 
@@ -1095,7 +1110,7 @@ def _minhash_pairs_ds(sf_dir: str):
                 cols["a_sh"] = _empty_lists(n)
             cols["kind"] = pa.array(np.ones(n, dtype=np.int64))
             cols["sh"] = b["sh"].combine_chunks().cast(_SH_TYPE)
-            cols["bucket"] = pa.array(overlaps.bucket_of(doc.to_numpy()))
+            cols["bucket"] = pa.array(overlaps.bucket_of(doc.to_numpy(), nb))
             return pa.table(cols)
 
         return fn
@@ -1277,9 +1292,11 @@ def q_dedup_simhash_pairs(sf_dir: str):
     sims = corpus.map_batches(simhash_batch, batch_format="pyarrow")
     bands = sims.map_batches(simhash_band_rows, batch_format="pyarrow")
 
+    nb = overlaps.n_shuffle_buckets()
+
     def add_bucket(b: pa.Table) -> pa.Table:
         key = b["band_key"].to_numpy() * 8 + b["band"].to_numpy()
-        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key, nb)))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
     return _bucket_groups(
@@ -1313,7 +1330,7 @@ def q_text_quality(sf_dir: str):
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
-        quality_score_batch, batch_format="pandas"
+        quality_score_batch, batch_format="pyarrow"
     )
 
 
@@ -1389,7 +1406,7 @@ def q_lang_id(sf_dir: str):
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
-        lang_id_batch, batch_format="pandas"
+        lang_id_batch, batch_format="pyarrow"
     )
 
 
@@ -1438,7 +1455,7 @@ def q_knn_brute_cosine(sf_dir: str):
     ).select(["vec_id", "embedding"])
     ref = ray.put(queries_tbl)
 
-    ds = datasets.embeddings_ds(sf_dir)
+    ds = datasets.embeddings_ds(sf_dir, columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={"queries_ref": ref},
@@ -1476,7 +1493,7 @@ def q_dedup_embedding_cosine(sf_dir: str):
     from ..stages.dedup import salted_block_rows
 
     n_blocks = 4
-    ds = datasets.embeddings_ds(sf_dir)
+    ds = datasets.embeddings_ds(sf_dir, columns=["vec_id", "embedding"])
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table({"vec_id": b["vec_id"], "emb": b["embedding"]})
@@ -1487,9 +1504,11 @@ def q_dedup_embedding_cosine(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    nb = overlaps.n_shuffle_buckets()
+
     def add_bucket(b: pa.Table) -> pa.Table:
         key = b["blk_i"].to_numpy() * n_blocks + b["blk_j"].to_numpy()
-        return b.append_column("bucket", pa.array(overlaps.bucket_of(key)))
+        return b.append_column("bucket", pa.array(overlaps.bucket_of(key, nb)))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     return _bucket_groups(
@@ -1535,8 +1554,9 @@ def q_dedup_embedding_lsh(sf_dir: str):
     from ..stages import overlaps
     from ..stages.ann import _buckets, _embedding_matrix, _normalize, _planes, lsh_bucket_cosine_pairs
 
-    ds = datasets.embeddings_ds(sf_dir)
+    ds = datasets.embeddings_ds(sf_dir, columns=["vec_id", "embedding"])
     planes = _planes()
+    nb = overlaps.n_shuffle_buckets()
 
     def prep(b: pa.Table) -> pa.Table:
         emb = _normalize(_embedding_matrix(b))
@@ -1546,7 +1566,7 @@ def q_dedup_embedding_lsh(sf_dir: str):
                 "vec_id": b["vec_id"],
                 "emb": b["embedding"],
                 "lsh_bucket": pa.array(lb),
-                "bucket": pa.array(overlaps.bucket_of(lb)),
+                "bucket": pa.array(overlaps.bucket_of(lb, nb)),
             }
         )
 
@@ -1644,10 +1664,12 @@ def q_ann_ivf_cosine(sf_dir: str):
     ).select(["vec_id", "embedding"])
     q_ref = ray.put(queries_tbl)
 
-    cents = label_centroids(datasets.embeddings_ds(sf_dir))
+    cents = label_centroids(
+        datasets.embeddings_ds(sf_dir, columns=["embedding", "label"])
+    )
     c_ref = ray.put(cents)
 
-    ds = datasets.embeddings_ds(sf_dir)
+    ds = datasets.embeddings_ds(sf_dir, columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         IVFTopK,
         fn_constructor_kwargs={"queries_ref": q_ref, "centroids_ref": c_ref},
@@ -1712,7 +1734,7 @@ def q_ann_lsh_cosine(sf_dir: str):
     ).select(["vec_id", "embedding"])
     ref = ray.put(queries_tbl)
 
-    ds = datasets.embeddings_ds(sf_dir)
+    ds = datasets.embeddings_ds(sf_dir, columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         LSHBucketTopK,
         fn_constructor_kwargs={"queries_ref": ref},
@@ -1790,6 +1812,44 @@ def q_mm_image_decode(sf_dir: str):
 
     return _png_payloads_ds(sf_dir).map_batches(
         ImageDecode,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH_SIZE,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+@register(
+    "mm_jpeg_decode",
+    """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS bw,
+                      1 + (doc_id * 3) % 4 AS bh FROM documents),
+    bx AS (SELECT doc_id, bw, bh, unnest(range(0, bw)) AS x FROM d),
+    bxy AS (SELECT doc_id, bw, bh, x, unnest(range(0, bh)) AS y FROM bx)
+    SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(64 * bw * bh AS BIGINT) AS n_bytes,
+           CAST(sum(128 * ((x*7 + y*13 + doc_id*11) % 128)) AS BIGINT)
+             AS pix_sum,
+           CAST(0 AS BIGINT) AS error
+    FROM bxy GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q_mm_jpeg_decode(sf_dir: str):
+    """Actor-pool JPEG decode over a binary payload column — REAL
+    pure-Python baseline-sequential decode (functions/jpeg.py: marker
+    parse, canonical Huffman, dequant, float64 IDCT). The synth
+    payloads are flat-8x8-block JPEGs whose DC coefficients are exact
+    quant multiples, so the lossy pipeline round-trips bit-exactly and
+    the oracle replays the closed-form block values (64 pixels per
+    block at 2*((bx*7+by*13+doc*11)%128))."""
+    from ..stages.multimodal import MM_BATCH_SIZE, ImageDecode, synth_jpeg_payloads
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    ds = ds.map_batches(synth_jpeg_payloads, batch_format="pyarrow")
+    return ds.map_batches(
+        ImageDecode,
+        fn_constructor_kwargs={"codec": "jpeg"},
         batch_format="pyarrow",
         batch_size=MM_BATCH_SIZE,
         concurrency=(1, 8),
@@ -1894,8 +1954,13 @@ def q_mm_frame_sample(sf_dir: str):
 # resumable partitioned export (checkpoint + lineage + metrics)
 # ---------------------------------------------------------------------------
 
-def _tileset_sql() -> str:
+def _tileset_sql(exclude_kinds: tuple[int, ...] = ()) -> str:
     from ..state.tileset import CLIP_SCALE, TARGET_LOD
+
+    kind_pred = (
+        f" AND kind NOT IN ({', '.join(map(str, exclude_kinds))})"
+        if exclude_kinds else ""
+    )
 
     def merc_y(lat_expr: str) -> str:
         return (
@@ -1924,7 +1989,7 @@ def _tileset_sql() -> str:
                {synth.sql_ty(f'lat + {synth.RLAT}', 13)} AS ty0,
                {synth.sql_ty(f'lat - {synth.RLAT}', 13)} AS ty1
         FROM lod
-        WHERE lod_min <= {TARGET_LOD} AND {TARGET_LOD} <= lod_max
+        WHERE lod_min <= {TARGET_LOD} AND {TARGET_LOD} <= lod_max{kind_pred}
       )
     ),
     clipped AS (
@@ -1960,6 +2025,24 @@ def q_tileset_export(sf_dir: str):
 
     out_dir = tempfile.mkdtemp(prefix="o2w_tileset_", dir="/tmp")
     return tileset_export(sf_dir, out_dir)
+
+
+@register("tileset_export_exclude", _tileset_sql(exclude_kinds=(2,)))
+def q_tileset_export_exclude(sf_dir: str):
+    """tileset_export under the WorldModule plugin surface with
+    ``excludeWorldModule=TreeModule`` (O2WConverterImpl.java:209-241 +
+    WorldModule.java:8-24): the module list resolves from O2WConfig on
+    the driver, the excluded module's elements (mention kind 2) are
+    dropped before the fan-out, and every partition manifest / metric
+    verifiably changes — the oracle replays the same exclusion."""
+    import tempfile
+
+    from ..functions.config import O2WConfig
+    from ..state.tileset import tileset_export
+
+    out_dir = tempfile.mkdtemp(prefix="o2w_tileset_excl_", dir="/tmp")
+    cfg = O2WConfig({"excludeWorldModule": "TreeModule"})
+    return tileset_export(sf_dir, out_dir, config=cfg)
 
 
 @register(
@@ -2310,17 +2393,19 @@ def q_node_adjacency(sf_dir: str):
         segment_incidences, batch_format="pyarrow"
     )
 
+    nb = overlaps.n_shuffle_buckets()
+
     def add_bucket(b: pa.Table) -> pa.Table:
         doc = pa.compute.utf8_slice_codeunits(
             b["url"], len(synth.URL_PREFIX), 99
         ).cast(pa.int64()).to_numpy()
         return b.append_column(
-            "bucket", pa.array(overlaps.bucket_of(doc * 8 + b["node_idx"].to_numpy()))
+            "bucket", pa.array(overlaps.bucket_of(doc * 8 + b["node_idx"].to_numpy(), nb))
         )
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     return _bucket_groups(
-        ds, angular_adjacency, batch_format="pandas"
+        ds, angular_adjacency, batch_format="pyarrow"
     )
 
 
@@ -2724,6 +2809,7 @@ def q_overlap_pairs_salted(sf_dir: str):
     # whose n^2 exceeds the time budget of one shuffle task)
     hot = tile_assign.hot_cells_of(ds, r=5, threshold=50)
     hot_ref = ray.put(hot)
+    nb = overlaps.n_shuffle_buckets()
 
     def fan(b: pa.Table) -> pa.Table:
         h = ray.get(hot_ref)
@@ -2731,7 +2817,7 @@ def q_overlap_pairs_salted(sf_dir: str):
             overlaps.strip_urls(b), h, r=5, r_hot=7
         )
         return out.append_column(
-            "bucket", pa.array(overlaps.bucket_of(out["cell"].to_numpy()))
+            "bucket", pa.array(overlaps.bucket_of(out["cell"].to_numpy(), nb))
         )
 
     ds = ds.map_batches(fan, batch_format="pyarrow").select_columns(
@@ -3271,14 +3357,17 @@ ORACLES["triangulate_boundaries"] = f"""
 def _events_bucketed(sf_dir: str):
     from ..stages import overlaps
 
-    ds = datasets.events_ds(sf_dir)
+    ds = datasets.events_ds(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    nb = overlaps.n_shuffle_buckets()
 
     def prep(b: pa.Table) -> pa.Table:
         ts_us = b["ts"].cast(pa.int64())
         return (
             b.append_column("ts_us", ts_us)
             .append_column(
-                "bucket", pa.array(overlaps.bucket_of(b["user_id"].to_numpy()))
+                "bucket", pa.array(overlaps.bucket_of(b["user_id"].to_numpy(), nb))
             )
         )
 
@@ -3299,10 +3388,15 @@ def q_events_tumbling(sf_dir: str):
     """Tumbling 5-minute windowed aggregate per event type: per-batch
     partial (pyarrow group_by) + bounded-bucket combine — the windowed
     form of the StatisticsOutput rollup."""
+    from ..stages.overlaps import n_shuffle_buckets
     from ..stages.windows import tumbling_combine, tumbling_partial
 
-    ds = datasets.events_ds(sf_dir)
-    ds = ds.map_batches(tumbling_partial, batch_format="pyarrow")
+    ds = datasets.events_ds(sf_dir, columns=["ts", "event_type", "value"])
+    ds = ds.map_batches(
+        tumbling_partial,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": n_shuffle_buckets()},
+    )
     return _bucket_groups(
         ds, tumbling_combine, batch_format="pyarrow"
     )
@@ -3333,10 +3427,15 @@ def q_events_topk(sf_dir: str):
     co-locate), vectorized combine + segmented rank scan in the
     kernel. No global sort; ties broken by event_type ascending
     (row_number() semantics, matching the oracle)."""
+    from ..stages.overlaps import n_shuffle_buckets
     from ..stages.windows import topk_by_window, topk_partial
 
-    ds = datasets.events_ds(sf_dir)
-    ds = ds.map_batches(topk_partial, batch_format="pyarrow")
+    ds = datasets.events_ds(sf_dir, columns=["ts", "event_type"])
+    ds = ds.map_batches(
+        topk_partial,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": n_shuffle_buckets()},
+    )
     return _bucket_groups(
         ds, topk_by_window, batch_format="pyarrow"
     )
@@ -4570,6 +4669,34 @@ def q_export_gltf(sf_dir: str):
 
 
 @register(
+    "export_gltf_gz",
+    f"""
+    SELECT doc_id % 16 AS part,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 10 END) AS BIGINT)
+             AS n_vertices,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 8 END) AS BIGINT)
+             AS n_faces,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 360 ELSE 216 END) AS BIGINT)
+             AS buffer_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q_export_gltf_gz(sf_dir: str):
+    """The ``.gltf.gz`` output variant (GltfOutput.java:430-442 picks
+    gzip/zip by filename; TilesetCommand.java:205-246 ships .glb.gz
+    tiles): identical document and metrics to export_gltf, the
+    partition artifact gzip-compressed with deterministic bytes
+    (mtime=0). pytest round-trips gunzip -> byte-identical glTF."""
+    import tempfile
+
+    from ..state.gltf_sink import export_gltf
+
+    out_dir = tempfile.mkdtemp(prefix="o2w_gltf_gz_", dir="/tmp")
+    return export_gltf(sf_dir, out_dir, compression="gz")
+
+
+@register(
     "export_pov",
     f"""
     SELECT doc_id % 16 AS part,
@@ -4687,7 +4814,9 @@ def q_kmeans_clusters(sf_dir: str):
     smaller cluster, empty clusters keep their centroid)."""
     from ..stages.kmeans import kmeans_fit
 
-    assignments, _cents = kmeans_fit(datasets.embeddings_ds(sf_dir))
+    assignments, _cents = kmeans_fit(
+        datasets.embeddings_ds(sf_dir, columns=["vec_id", "embedding"])
+    )
     return assignments
 
 
@@ -4696,38 +4825,48 @@ def q_kmeans_clusters(sf_dir: str):
 # 147-184: stiff-set average + ABOVE/BELOW offsets)
 # ---------------------------------------------------------------------------
 
-def _enforce_merge(group):
-    """Bucket co-group on node: attach component labels to ele rows."""
-    import pandas as pd
+def _enforce_merge(group, n_buckets: int):
+    """Bucket co-group on node: attach component labels to ele rows
+    (Arrow in; vectorized searchsorted join — no pandas merge).
+    ``n_buckets`` (driver-resolved) keys the NEXT groupby's bucket."""
+    from ..stages.overlaps import col_np
 
-    comp = group[group["kind"] == 0]
-    ele = group[group["kind"] == 1]
-    m = ele[["node", "ele", "state"]].merge(
-        comp[["node", "component"]], on="node", how="inner"
-    )
+    kind = col_np(group, "kind", np.int64)
+    node = col_np(group, "node", np.int64)
+    crows = np.nonzero(kind == 0)[0]
+    erows = np.nonzero(kind == 1)[0]
+    ckey = node[crows]
+    order = np.argsort(ckey)
+    ckey = ckey[order]
+    comp_lbl = col_np(group, "component", np.int64)[crows[order]]
+    ekey = node[erows]
+    pos = np.clip(np.searchsorted(ckey, ekey), 0, max(len(ckey) - 1, 0))
+    hit = (ckey[pos] == ekey) if len(ckey) else np.zeros(len(ekey), bool)
+    erows = erows[hit]
+    comp = comp_lbl[pos[hit]]
     return pa.table(
         {
-            "node": pa.array(m["node"].to_numpy(dtype=np.int64)),
-            "ele": pa.array(m["ele"].to_numpy(dtype=np.float64)),
-            "state": pa.array(m["state"].to_numpy(dtype=np.int64)),
-            "component": pa.array(m["component"].to_numpy(dtype=np.int64)),
-            "bucket": pa.array(
-                overlaps_bucket(m["component"].to_numpy(dtype=np.int64))
-            ),
+            "node": pa.array(node[erows]),
+            "ele": pa.array(col_np(group, "ele", np.float64)[erows]),
+            "state": pa.array(col_np(group, "state", np.int64)[erows]),
+            "component": pa.array(comp),
+            "bucket": pa.array(overlaps_bucket(comp, n_buckets)),
         }
     )
 
 
 def _enforce_avg(group):
     """Bucket of components: stiff-set average + ground-state offset
-    (:151-183); emits one row per member."""
-    import pandas as pd
+    (:151-183); emits one row per member (Arrow in/out, url rebuilt by
+    Arrow C++ concat)."""
+    import pyarrow.compute as pc
 
-    comp = group["component"].to_numpy(dtype=np.int64)
+    from ..stages.overlaps import col_np
+
+    comp = col_np(group, "component", np.int64)
     order = np.argsort(comp, kind="stable")
-    g = group.iloc[order]
     comp = comp[order]
-    ele = g["ele"].to_numpy(dtype=np.float64)
+    ele = col_np(group, "ele", np.float64)[order]
     first = np.concatenate(([True], comp[1:] != comp[:-1]))
     gid = np.cumsum(first) - 1
     sums = np.zeros(gid[-1] + 1 if len(gid) else 0)
@@ -4735,24 +4874,25 @@ def _enforce_avg(group):
     np.add.at(sums, gid, ele)
     np.add.at(cnts, gid, 1)
     avg = (sums / cnts)[gid]
-    state = g["state"].to_numpy(dtype=np.int64)
+    state = col_np(group, "state", np.int64)[order]
     final = avg + np.where(state == 1, 5.0, np.where(state == 2, -5.0, 0.0))
-    node = g["node"].to_numpy(dtype=np.int64)
+    node = col_np(group, "node", np.int64)[order]
+    url = pc.binary_join_element_wise(
+        synth.URL_PREFIX, pc.cast(pa.array(node >> 2), pa.string()), ""
+    )
     return pa.table(
         {
-            "url": pa.array(
-                [f"{synth.URL_PREFIX}{n >> 2}" for n in node], type=pa.string()
-            ),
+            "url": url,
             "mention_idx": pa.array(node % 4),
             "ele_mm": pa.array(np.floor(final * 1000.0 + 0.5).astype(np.int64)),
         }
     )
 
 
-def overlaps_bucket(x):
+def overlaps_bucket(x, n_buckets: int):
     from ..stages.overlaps import bucket_of
 
-    return bucket_of(x)
+    return bucket_of(x, n_buckets)
 
 
 @register(
@@ -4812,9 +4952,11 @@ def q_enforce_ele(sf_dir: str):
     import pyarrow.compute as pc
 
     from ..stages.components import connected_components
+    from ..stages.overlaps import n_shuffle_buckets
     from ..stages.raster import IDWInterpolate
 
     ds = datasets.mentions_spilled_ds(sf_dir)
+    nb = n_shuffle_buckets()
 
     def to_nodes(b: pa.Table) -> pa.Table:
         doc = pc.utf8_slice_codeunits(
@@ -4853,7 +4995,7 @@ def q_enforce_ele(sf_dir: str):
                 "ele": pa.array(np.zeros(len(node))),
                 "state": pa.array(np.zeros(len(node), dtype=np.int64)),
                 "kind": pa.array(np.zeros(len(node), dtype=np.int64)),
-                "bucket": pa.array(overlaps_bucket(node)),
+                "bucket": pa.array(overlaps_bucket(node, nb)),
             }
         )
 
@@ -4879,7 +5021,7 @@ def q_enforce_ele(sf_dir: str):
                 "ele": b["ele"],
                 "state": pa.array((doc * 3 + midx) % 3),
                 "kind": pa.array(np.ones(len(node), dtype=np.int64)),
-                "bucket": pa.array(overlaps_bucket(node)),
+                "bucket": pa.array(overlaps_bucket(node, nb)),
             }
         )
 
@@ -4887,10 +5029,10 @@ def q_enforce_ele(sf_dir: str):
         ele.map_batches(ele_rows, batch_format="pyarrow")
     )
     merged = _bucket_groups(
-        union, _enforce_merge, batch_format="pandas"
+        union, lambda g: _enforce_merge(g, nb), batch_format="pyarrow"
     )
     return _bucket_groups(
-        merged, _enforce_avg, batch_format="pandas"
+        merged, _enforce_avg, batch_format="pyarrow"
     )
 
 
@@ -4923,48 +5065,18 @@ _CF_MIN_STOP = 2
 def q_corpus_filter(sf_dir: str):
     """End-to-end curation chain: language gate -> quality gates
     (minimum token count + stopword floor, the C4-style heuristics) as
-    ONE streaming pass — scoring and filtering fused in the actor so
-    dropped rows never leave the worker (no shuffle, no
-    materialization; the dedup stages chain after this in the full
-    corpus pipeline)."""
-    import pandas as pd
-
-    from ..stages.textstats import QualityScore
-
-
-    class FilterChain:
-        def __init__(self):
-            self.scorer = QualityScore()
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keep = batch["lang"].to_numpy() == "en"
-            batch = batch[keep]
-            if len(batch) == 0:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], type=pa.int64()),
-                        "n_tokens": pa.array([], type=pa.int64()),
-                        "stopword_count": pa.array([], type=pa.int64()),
-                    }
-                )
-            s = self.scorer(batch)
-            ok = (s["n_tokens"] >= _CF_MIN_TOKENS) & (
-                s["stopword_count"] >= _CF_MIN_STOP
-            )
-            out = s[ok]
-            return pa.table(
-                {
-                    "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
-                    "n_tokens": pa.array(out["n_tokens"].to_numpy(dtype=np.int64)),
-                    "stopword_count": pa.array(
-                        out["stopword_count"].to_numpy(dtype=np.int64)
-                    ),
-                }
-            )
+    ONE fused streaming task op — scoring and filtering in the same
+    Arrow pass so dropped rows never leave the worker (no shuffle, no
+    materialization, no actor pool: the chain holds no per-actor
+    state; the dedup stages chain after this in the full corpus
+    pipeline)."""
+    from ..stages.textstats import corpus_filter_batch
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text", "lang"])
     return ds.map_batches(
-        FilterChain, batch_format="pandas", concurrency=(1, 16), num_cpus=1
+        corpus_filter_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"min_tokens": _CF_MIN_TOKENS, "min_stop": _CF_MIN_STOP},
     )
 
 
@@ -4990,10 +5102,15 @@ def q_events_hopping(sf_dir: str):
     each event fans out to its WINDOW/HOP covering windows, then the
     identical partial + bounded-bucket combine as the tumbling rollup
     — the sliding-aggregate member of the window family."""
+    from ..stages.overlaps import n_shuffle_buckets
     from ..stages.windows import hopping_partial, tumbling_combine
 
-    ds = datasets.events_ds(sf_dir)
-    ds = ds.map_batches(hopping_partial, batch_format="pyarrow")
+    ds = datasets.events_ds(sf_dir, columns=["ts", "event_type", "value"])
+    ds = ds.map_batches(
+        hopping_partial,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": n_shuffle_buckets()},
+    )
     return _bucket_groups(
         ds, tumbling_combine, batch_format="pyarrow"
     )
@@ -5696,27 +5813,29 @@ def q_style_materials(sf_dir: str):
 #: registration order — rotation maximizes cumulative driver evidence
 #: across rounds without dropping any registration.
 _SAMPLE_PRIORITY = [
-    # round-4 additions + operators materially changed this round
-    "traffic_signs", "road_lanes", "tileset_export", "equidistribute_points_mid",
-    "dedup_clusters", "token_count", "events_topk", "mm_image_decode",
+    # round-5: new op + everything materially changed this round (the
+    # sort->raw discrete-key exchange swap touches every bounded-bucket
+    # consumer; corpus_filter/text kernels went Arrow; events/ANN reads
+    # are column-pruned). Coverage note: after round 4 every registered
+    # query had appeared in at least one CORRECTNESS_r* gate except the
+    # new mm_jpeg_decode, which leads here.
+    "mm_jpeg_decode", "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
-    "mm_image_resize",
-    "dedup_minhash_lsh", "tile_rollup_z13", "fingerprint_md5",
-    "read_osm_xml", "overlap_pairs_salted", "overlap_aa",
-    "overlap_components", "enforce_ele",
-    # never yet in a CORRECTNESS_r* sample (latest registrations first —
-    # rounds 1-2 sampled the first 50 in registration order, round 3
-    # sampled the previous priority head)
-    "dataset_center", "terrain_grid", "extract_errors", "scatter_points",
-    "equidistribute_points", "node_adjacency", "parse_tags",
-    "idw_elevation", "raster_sites", "density_raster", "checkpoint_export",
-    "mm_frame_sample", "mm_resize_plan", "ann_lsh_cosine", "ann_ivf_cosine",
-    "fingerprint_rolling", "dedup_embedding_lsh", "dedup_embedding_cosine",
-    "knn_brute_cosine", "lang_id", "text_quality", "dedup_simhash_pairs",
-    "dedup_simhash", "dedup_jaccard_pairs", "dedup_exact", "read_pruned",
-    "tile_metadata_join", "overlap_typed", "pip_join_kdtree", "knn_top3",
-    "knn_nearest_kind", "straddle_fanout_z13", "mercator_mm",
-    "tile_ancestor_rollup", "cell_assign_r5",
+    "overlap_pairs", "overlap_pairs_salted", "segment_intersections",
+    "tile_rollup_z13", "overlap_aa", "overlap_typed", "overlap_wa",
+    "resolve_ways", "resolve_way_errors", "resolve_relations",
+    "assemble_rings", "network_junctions", "node_adjacency",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_simhash_pairs", "dedup_jaccard_pairs",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "events_tumbling", "events_topk", "events_hopping",
+    "events_sessions", "events_asof", "enforce_ele", "mesh_merge",
+    "texture_atlas", "density_raster", "overlap_components",
+    "ann_brute_cosine", "ann_ivf_cosine", "ann_lsh_cosine",
+    "kmeans_clusters", "tileset_export", "mm_image_decode",
+    "mm_image_resize", "traffic_signs", "token_count",
+    "fingerprint_md5", "log_compact", "knn_nearest_kind", "knn_top3",
+    "idw_elevation", "equidistribute_points",
 ]
 
 

@@ -258,8 +258,9 @@ def _verts_inside_all(PX, PY, pvm, p_shared, X, Y, X2, Y2, em):
     return ((inside | p_shared) | ~pvm).all(axis=1)
 
 
-def fan_out_area_cells(batch: pa.Table, *, r: int = 5) -> pa.Table:
-    """bbox cover fan-out with per-row extents + bucket key."""
+def fan_out_area_cells(batch: pa.Table, *, r: int = 5, n_buckets: int) -> pa.Table:
+    """bbox cover fan-out with per-row extents + bucket key
+    (``n_buckets`` driver-resolved, see overlaps.bucket_of)."""
     from ..geo import tiles
 
     minx = batch["minx"].to_numpy()
@@ -278,7 +279,7 @@ def fan_out_area_cells(batch: pa.Table, *, r: int = 5) -> pa.Table:
         out.append_column("cell", pa.array(cell))
         .append_column("cell_ix", pa.array(ix))
         .append_column("cell_iy", pa.array(iy))
-        .append_column("bucket", pa.array(bucket_of(cell)))
+        .append_column("bucket", pa.array(bucket_of(cell, n_buckets)))
     )
 
 
@@ -431,21 +432,28 @@ def overlap_aa_unsalted(mentions_ds):
     """Plain (unsalted) variant — the pytest reference for the salted
     default; at scale the dense-cluster cells' O(n^2) pair space makes
     ``overlap_aa`` (salted) the production path."""
+    from .overlaps import n_shuffle_buckets
+
     areas = mentions_ds.map_batches(areas_from_mentions, batch_format="pyarrow")
-    fanned = areas.map_batches(fan_out_area_cells, batch_format="pyarrow")
+    fanned = areas.map_batches(
+        fan_out_area_cells,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": n_shuffle_buckets()},
+    )
     return bucket_groups(
         fanned, pairwise_aa_typed, batch_format="pyarrow"
     )
 
 
 def fan_out_area_cells_salted(batch: pa.Table, hot_cells: np.ndarray, *,
-                              r: int = 5, r_hot: int = 6) -> pa.Table:
+                              r: int = 5, r_hot: int = 6,
+                              n_buckets: int) -> pa.Table:
     """Skew-aware area fan-out: assignments landing in a HOT cell are
     refined to ``r_hot`` sub-cells (same partition invariant as
     ``tile_assign.fan_out_cells_salted``: hot parents wholly replaced
     by their children, ownership evaluates at each row's own packed
     resolution, so every pair is still emitted exactly once)."""
-    base = fan_out_area_cells(batch, r=r)
+    base = fan_out_area_cells(batch, r=r, n_buckets=n_buckets)
     if len(hot_cells) == 0:
         return base
     hot_cells = np.asarray(hot_cells, dtype=np.int64)
@@ -459,7 +467,7 @@ def fan_out_area_cells_salted(batch: pa.Table, hot_cells: np.ndarray, *,
     )
     _, first = np.unique(hot_src["akey"].to_numpy(), return_index=True)
     hot_src = hot_src.take(pa.array(np.sort(first)))
-    fine = fan_out_area_cells(hot_src, r=r_hot)
+    fine = fan_out_area_cells(hot_src, r=r_hot, n_buckets=n_buckets)
     shift = r_hot - r
     parent = (
         (np.int64(r) << 58)
@@ -476,8 +484,10 @@ def area_hot_cells(areas_ds, *, r: int = 5, threshold: int) -> np.ndarray:
     import pyarrow.compute as pc
     import ray
 
+    nb = 64  # count pre-pass only reads the cell column; any fixed count works
+
     def partial(b: pa.Table) -> pa.Table:
-        fanned = fan_out_area_cells(b, r=r)
+        fanned = fan_out_area_cells(b, r=r, n_buckets=nb)
         u, c = np.unique(fanned["cell"].to_numpy(), return_counts=True)
         return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
 
@@ -513,8 +523,13 @@ def overlap_aa(mentions_ds, *, threshold: int = 50):
     # cells wide, so each refinement level multiplies their fan-out ~2x
     # in each axis — deeper salting costs more in assignments than the
     # split O(n^2) saves (measured at sf0.1)
+    from .overlaps import n_shuffle_buckets
+
+    nb = n_shuffle_buckets()  # driver-resolved, captured by the closure
+
     def fan(b: pa.Table) -> pa.Table:
-        return fan_out_area_cells_salted(b, ray.get(hot_ref), r=5, r_hot=6)
+        return fan_out_area_cells_salted(b, ray.get(hot_ref), r=5, r_hot=6,
+                                         n_buckets=nb)
 
     fanned = areas.map_batches(fan, batch_format="pyarrow")
     return bucket_groups(

@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .overlaps import bucket_groups, bucket_of
+from .overlaps import bucket_groups, bucket_of, n_shuffle_buckets
 
 #: quotients up to this many edges finish on the driver; larger ones
 #: recurse (sandbox-scale threshold; production sets this to what one
@@ -98,7 +98,14 @@ def node_min_roots_and_conflicts(group) -> pa.Table:
     node = col_np(group, "node", np.int64)
     root = col_np(group, "root", np.int64)
     is_self = col_np(group, "is_self", np.int64)
-    order = np.lexsort((root, node))
+    # sort (node, is_self, root): bucket rows (is_self=0) contiguous
+    # per node BEFORE the self row, so adjacent-pair conflict scan is
+    # ROW-ORDER-INDEPENDENT (a self row with root == a bucket root
+    # sorted between two bucket rows would silently swallow their
+    # conflict edge — bit with the raw exchange's different concat
+    # order; the min-root rule is unaffected: bucket roots <= node id
+    # = the self root, so the first row per node is still the min)
+    order = np.lexsort((root, is_self, node))
     node, root, is_self = node[order], root[order], is_self[order]
     first = np.ones(len(node), dtype=bool)
     first[1:] = node[1:] != node[:-1]
@@ -168,17 +175,19 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
     """
     import ray
 
+    nb = n_shuffle_buckets()  # driver-resolved, captured by every closure
+
     if not edges_have_bucket:
         def add_bucket(b: pa.Table) -> pa.Table:
             key = np.minimum(b["src"].to_numpy(), b["dst"].to_numpy())
-            return b.append_column("bucket", pa.array(bucket_of(key)))
+            return b.append_column("bucket", pa.array(bucket_of(key, nb)))
 
         edges_ds = edges_ds.map_batches(add_bucket, batch_format="pyarrow")
     else:
         def rebucket(b: pa.Table) -> pa.Table:
             i = b.schema.get_field_index("bucket")
             return b.set_column(
-                i, "bucket", pa.array(bucket_of(b["bucket"].to_numpy()))
+                i, "bucket", pa.array(bucket_of(b["bucket"].to_numpy(), nb))
             )
 
         edges_ds = edges_ds.map_batches(rebucket, batch_format="pyarrow")
@@ -190,7 +199,7 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
     def root_key(b: pa.Table, self_flag: int) -> pa.Table:
         return b.append_column(
             "is_self", pa.array(np.full(len(b), self_flag, dtype=np.int64))
-        ).append_column("bucket", pa.array(bucket_of(b["node"].to_numpy())))
+        ).append_column("bucket", pa.array(bucket_of(b["node"].to_numpy(), nb)))
 
     all_roots = node_roots.map_batches(
         lambda b: root_key(b, 0), batch_format="pyarrow"
@@ -255,7 +264,7 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
                 "root": b["node"],
                 "label": b["label"],
                 "kind": pa.array(np.full(len(b), 2, dtype=np.int64)),
-                "bucket": pa.array(bucket_of(b["node"].to_numpy())),
+                "bucket": pa.array(bucket_of(b["node"].to_numpy(), nb)),
             }
         )
 
@@ -266,7 +275,7 @@ def connected_components(nodes_ds, edges_ds, *, edges_have_bucket: bool = False,
                 "root": b["root"],
                 "label": pa.array(np.zeros(len(b), dtype=np.int64)),
                 "kind": pa.array(np.zeros(len(b), dtype=np.int64)),
-                "bucket": pa.array(bucket_of(b["root"].to_numpy())),
+                "bucket": pa.array(bucket_of(b["root"].to_numpy(), nb)),
             }
         )
 

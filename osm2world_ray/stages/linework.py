@@ -64,28 +64,41 @@ def angular_adjacency(group: pd.DataFrame) -> pd.DataFrame:
                 "segs_csv": _pa.array([], type=_pa.string()),
             }
         )
-    url = group["url"].to_numpy()
-    node = group["node_idx"].to_numpy(dtype=np.int64)
-    seg = group["seg_idx"].to_numpy(dtype=np.int64)
-    ang = np.arctan2(group["dx"].to_numpy(), group["dy"].to_numpy())
-    doc = pd.Series(url).str.slice(len(synth.URL_PREFIX)).astype(np.int64).to_numpy()
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .overlaps import col_np, doc_ids_of
+
+    node = col_np(group, "node_idx", np.int64)
+    seg = col_np(group, "seg_idx", np.int64)
+    ang = np.arctan2(col_np(group, "dx", np.float64),
+                     col_np(group, "dy", np.float64))
+    doc = doc_ids_of(group)
     order = np.lexsort((seg, ang, node, doc))
-    url, node, seg = url[order], node[order], seg[order]
-    doc = doc[order]
+    node, seg, doc = node[order], seg[order], doc[order]
     key_change = np.ones(len(doc), dtype=bool)
     key_change[1:] = (doc[1:] != doc[:-1]) | (node[1:] != node[:-1])
     group_id = np.cumsum(key_change) - 1
-    df = pd.DataFrame({"g": group_id, "seg": seg.astype(str)})
-    csv = df.groupby("g", sort=True)["seg"].agg(",".join)
+    # per-group CSV join via Arrow C++ (binary_join over list slices)
+    seg_str = _pc.cast(_pa.array(seg), _pa.string())
+    offsets = np.concatenate(
+        (np.nonzero(key_change)[0], [len(doc)])
+    ).astype(np.int32)
+    lists = _pa.ListArray.from_arrays(_pa.array(offsets), seg_str)
+    csv = _pc.binary_join(lists, ",")
     firsts = np.nonzero(key_change)[0]
-    from .overlaps import _df_to_arrow
-    return _df_to_arrow(pd.DataFrame(
+    url = _pc.binary_join_element_wise(
+        synth.URL_PREFIX,
+        _pc.cast(_pa.array(doc[firsts]), _pa.string()),
+        "",
+    )
+    return _pa.table(
         {
-            "url": url[firsts],
-            "node_idx": node[firsts],
-            "segs_csv": csv.to_numpy(),
+            "url": url,
+            "node_idx": _pa.array(node[firsts]),
+            "segs_csv": csv,
         }
-    ))
+    )
 
 
 # ---------------------------------------------------------------------------

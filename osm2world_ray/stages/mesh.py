@@ -144,9 +144,13 @@ def _partial_merge(batch: pa.Table, key: list[str]) -> pa.Table:
     )
 
 
-def _combine_merge(group: pd.DataFrame, key: list[str]) -> pa.Table:
-    """bucket of partials -> final merged-mesh rows (Arrow out)."""
-    t = pa.Table.from_pandas(group, preserve_index=False)
+def _combine_merge(group, key: list[str]) -> pa.Table:
+    """bucket of partials -> final merged-mesh rows (Arrow in/out)."""
+    t = (
+        group
+        if isinstance(group, pa.Table)
+        else pa.Table.from_pandas(group, preserve_index=False)
+    )
     agg = [
         ("sum_tris", "sum"),
         ("sum_verts", "sum"),
@@ -184,7 +188,7 @@ def merge_meshes(docs_ds, *, merge_elements: bool = False):
         lambda b, key=key: _partial_merge(b, key), batch_format="pyarrow"
     )
     return bucket_groups(
-        parts, lambda g, key=key: _combine_merge(g, key), batch_format="pandas"
+        parts, lambda g, key=key: _combine_merge(g, key), batch_format="pyarrow"
     )
 
 

@@ -67,6 +67,43 @@ def synth_png_payloads(batch: pa.Table) -> pa.Table:
     )
 
 
+def synth_jpeg_payloads(batch: pa.Table) -> pa.Table:
+    """documents batch -> (doc_id, payload: binary) with REAL encoded
+    baseline JPEGs (functions/jpeg.py). Flat 8x8 blocks whose DC
+    coefficients are exact quant-step multiples, so the lossy pipeline
+    round-trips bit-exactly and decode has a closed-form SQL oracle:
+    blocks_w = 1 + doc%4, blocks_h = 1 + (doc*3)%4, greyscale, block
+    value 2*((bx*7 + by*13 + doc*11) % 128)."""
+    from ..functions.jpeg import encode_flat_jpeg
+
+    doc = batch["doc_id"].to_numpy().astype(np.int64)
+    payloads = []
+    for d in doc:
+        bw = 1 + int(d) % 4
+        bh = 1 + (int(d) * 3) % 4
+        bx = np.arange(bw, dtype=np.int64)
+        by = np.arange(bh, dtype=np.int64)
+        vals = 2 * ((bx[None, :] * 7 + by[:, None] * 13 + int(d) * 11) % 128)
+        payloads.append(encode_flat_jpeg(vals))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _decode_jpeg_meta(data: bytes):
+    """functions.jpeg.decode_jpeg -> the (w, h, c, pixels) contract
+    ImageDecode expects."""
+    from ..functions.jpeg import decode_jpeg
+
+    px = decode_jpeg(data)
+    if px.ndim == 2:
+        return px.shape[1], px.shape[0], 1, px
+    return px.shape[1], px.shape[0], px.shape[2], px
+
+
 class ImageDecode:
     """(id, payload: binary) -> (id, width, height, channels, n_bytes,
     pix_sum, error).
@@ -80,12 +117,13 @@ class ImageDecode:
     engine's per-row fault-tolerance rule, never task failures.
     """
 
-    def __init__(self, id_col: str = "doc_id", payload_col: str = "payload"):
+    def __init__(self, id_col: str = "doc_id", payload_col: str = "payload",
+                 codec: str = "png"):
         from ..functions.png import decode_png
 
         self.id_col = id_col
         self.payload_col = payload_col
-        self.decode = decode_png
+        self.decode = _decode_jpeg_meta if codec == "jpeg" else decode_png
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.payload_col]

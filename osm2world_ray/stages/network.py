@@ -82,7 +82,7 @@ spokes AS (
 """
 
 
-def spokes_from_docs(batch: pa.Table) -> pa.Table:
+def spokes_from_docs(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     """documents batch -> spoke incidence rows (url, k, dx, dy, w,
     bucket). Directions are UNIT outbound vectors; the node itself is
     implicit (outputs are node-relative)."""
@@ -125,7 +125,7 @@ def spokes_from_docs(batch: pa.Table) -> pa.Table:
             "dx": pa.array(dx),
             "dy": pa.array(dy),
             "w": pa.array(0.02 + 0.0037 * ((d * 4 + k) % 5)),
-            "bucket": pa.array(bucket_of(d)),
+            "bucket": pa.array(bucket_of(d, n_buckets)),
         }
     )
 
@@ -154,12 +154,17 @@ def junction_cuts(group: pd.DataFrame) -> pa.Table:
     )
     if len(group) == 0:
         return empty
-    url = group["url"].to_numpy()
-    doc = pd.Series(url).str.slice(len(synth.URL_PREFIX)).astype(np.int64).to_numpy()
-    k = group["k"].to_numpy(dtype=np.int64)
-    dx = group["dx"].to_numpy(dtype=np.float64)
-    dy = group["dy"].to_numpy(dtype=np.float64)
-    w = group["w"].to_numpy(dtype=np.float64)
+    from .overlaps import col_np, doc_ids_of
+
+    if isinstance(group, pa.Table):
+        url = np.asarray(group["url"].to_pylist(), dtype=object)
+    else:
+        url = group["url"].to_numpy()
+    doc = doc_ids_of(group)
+    k = col_np(group, "k", np.int64)
+    dx = col_np(group, "dx", np.float64)
+    dy = col_np(group, "dy", np.float64)
+    w = col_np(group, "w", np.float64)
     # angular order around each node (VectorXZ.angle(): atan2(x, z))
     ang = np.arctan2(dx, dy)
     ang = np.where(ang < 0, ang + 2 * np.pi, ang)
@@ -295,7 +300,13 @@ def junction_cuts(group: pd.DataFrame) -> pa.Table:
 def network_junctions(docs_ds):
     """documents -> per-spoke cut geometry via one bounded-bucket
     shuffle and the vectorized per-bucket kernel."""
-    spokes = docs_ds.map_batches(spokes_from_docs, batch_format="pyarrow")
+    from .overlaps import n_shuffle_buckets
+
+    spokes = docs_ds.map_batches(
+        spokes_from_docs,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": n_shuffle_buckets()},
+    )
     return bucket_groups(
-        spokes, lambda g: junction_cuts(g), batch_format="pandas"
+        spokes, lambda g: junction_cuts(g), batch_format="pyarrow"
     )

@@ -30,7 +30,9 @@ def cell_counts(ds, *, r: int = 5):
     bounded-bucket shuffle (same combiner discipline as the tile
     rollup)."""
     from ..geo import cells as cells_mod
-    from .overlaps import bucket_groups, bucket_of
+    from .overlaps import bucket_groups, bucket_of, n_shuffle_buckets
+
+    nb = n_shuffle_buckets()  # driver-resolved, captured by the closure
 
     def partial(batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -41,21 +43,26 @@ def cell_counts(ds, *, r: int = 5):
             {
                 "cell": pa.array(uniq),
                 "n": pa.array(counts.astype(np.int64)),
-                "bucket": pa.array(bucket_of(uniq)),
+                "bucket": pa.array(bucket_of(uniq, nb)),
             }
         )
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby("cell", as_index=False, sort=False)["n"].sum()
-        return out.astype({"cell": np.int64, "n": np.int64})
+    def combine(group: pa.Table) -> pa.Table:
+        g = group.select(["cell", "n"]).group_by("cell").aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {"cell": g["cell"].cast(pa.int64()),
+             "n": g["n_sum"].cast(pa.int64())}
+        )
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
     return bucket_groups(
-        ds, combine, batch_format="pandas"
+        ds, combine, batch_format="pyarrow"
     )
 
 
-def rasterize_window(group: pd.DataFrame) -> pd.DataFrame:
+def rasterize_window(group) -> pa.Table:
     """One raster window's cells -> dense grid stats + flattened
     nonzero pixels.
 
@@ -65,9 +72,10 @@ def rasterize_window(group: pd.DataFrame) -> pd.DataFrame:
     comparison.
     """
     from ..geo.cells import unpack_cell
+    from .overlaps import col_np
 
-    cell = group["cell"].to_numpy(dtype=np.int64)
-    n = group["n"].to_numpy(dtype=np.int64)
+    cell = col_np(group, "cell", np.int64)
+    n = col_np(group, "n", np.int64)
     _r, ix, iy = unpack_cell(cell)
     wx = ix // WINDOW
     wy = iy // WINDOW
@@ -76,13 +84,13 @@ def rasterize_window(group: pd.DataFrame) -> pd.DataFrame:
     cols = (ix % WINDOW).astype(np.int64)
     grid[rows, cols] = n
     nz = np.nonzero(grid)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "wx": np.full(len(nz[0]), int(wx[0]), dtype=np.int64),
-            "wy": np.full(len(nz[0]), int(wy[0]), dtype=np.int64),
-            "row": nz[0].astype(np.int64),
-            "col": nz[1].astype(np.int64),
-            "n": grid[nz],
+            "wx": pa.array(np.full(len(nz[0]), int(wx[0]), dtype=np.int64)),
+            "wy": pa.array(np.full(len(nz[0]), int(wy[0]), dtype=np.int64)),
+            "row": pa.array(nz[0].astype(np.int64)),
+            "col": pa.array(nz[1].astype(np.int64)),
+            "n": pa.array(grid[nz]),
         }
     )
 
@@ -102,7 +110,7 @@ def density_raster(ds, *, r: int = 5):
 
     counts = counts.map_batches(add_window, batch_format="pyarrow")
     return counts.groupby(["wx", "wy"]).map_groups(
-        rasterize_window, batch_format="pandas"
+        rasterize_window, batch_format="pyarrow"
     )
 
 

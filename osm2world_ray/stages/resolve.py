@@ -27,9 +27,10 @@ DANGLING_MOD = 23
 DANGLING_REF = 3
 
 
-def refs_from_mentions(batch: pa.Table) -> pa.Table:
+def refs_from_mentions(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     """Mention rows -> way-ref rows (url, ref): one ref per mention,
-    plus the dangling ref for doc_id % 23 == 0 pages."""
+    plus the dangling ref for doc_id % 23 == 0 pages. ``n_buckets`` is
+    the driver-resolved shuffle bucket count."""
     import pyarrow.compute as pc
 
     doc = pc.utf8_slice_codeunits(
@@ -50,50 +51,78 @@ def refs_from_mentions(batch: pa.Table) -> pa.Table:
         .append_column("doc_id", pa.array(np.concatenate([doc, doc[extra_idx]])))
         .append_column(
             "bucket",
-            pa.array(bucket_of(np.concatenate([doc, doc[extra_idx]]))),
+            pa.array(bucket_of(np.concatenate([doc, doc[extra_idx]]), n_buckets)),
         )
     )
 
 
-def _merge(group: pd.DataFrame):
-    """Bucket co-group: kind 0 = node rows (url, mention_idx, lat,
-    lon), kind 1 = ref rows (url, ref). Returns (resolved, bad_urls)."""
-    nodes = group[group["kind"] == 0]
-    refs = group[group["kind"] == 1]
-    m = refs[["url", "ref"]].merge(
-        nodes[["url", "mention_idx", "lat", "lon"]],
-        left_on=["url", "ref"],
-        right_on=["url", "mention_idx"],
-        how="left",
+def _merge(group: pa.Table):
+    """Bucket co-group (Arrow in): kind 0 = node rows (url,
+    mention_idx, lat, lon), kind 1 = ref rows (url, ref). The hash
+    join is a vectorized searchsorted on the (doc, idx) composite —
+    no pandas merge (and none of its silent _x/_y suffix traps).
+    Returns (resolved dict of numpy arrays, bad doc ids sorted)."""
+    from .overlaps import col_np, doc_ids_of
+
+    kind = col_np(group, "kind", np.int64)
+    doc = doc_ids_of(group)
+    nrows = np.nonzero(kind == 0)[0]
+    rrows = np.nonzero(kind == 1)[0]
+    # node lookup key: doc * 16 + mention_idx (mention_idx < 4)
+    midx = col_np(group, "mention_idx", np.int64)
+    nkey = doc[nrows] * 16 + midx[nrows]
+    order = np.argsort(nkey)
+    nkey = nkey[order]
+    nsel = nrows[order]
+    ref = col_np(group, "ref", np.int64)
+    rkey = doc[rrows] * 16 + ref[rrows]
+    pos = np.clip(np.searchsorted(nkey, rkey), 0, max(len(nkey) - 1, 0))
+    hit = (nkey[pos] == rkey) if len(nkey) else np.zeros(len(rkey), bool)
+    bad_docs = np.unique(doc[rrows[~hit]])
+    keep = hit & ~np.isin(doc[rrows], bad_docs)
+    src = nsel[pos[keep]]
+    lat = col_np(group, "lat", np.float64)
+    lon = col_np(group, "lon", np.float64)
+    resolved = {
+        "doc": doc[rrows[keep]],
+        "ref": ref[rrows[keep]],
+        "lat": lat[src],
+        "lon": lon[src],
+    }
+    return resolved, bad_docs
+
+
+def resolve_group(group: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    r, _bad = _merge(group)
+    url = pc.binary_join_element_wise(
+        synth.URL_PREFIX, pc.cast(pa.array(r["doc"]), pa.string()), ""
     )
-    missing = m["mention_idx"].isna()
-    bad_urls = set(m.loc[missing, "url"])
-    resolved = m[~m["url"].isin(bad_urls)]
-    return resolved, sorted(bad_urls)
-
-
-def resolve_group(group: pd.DataFrame):
-    from .overlaps import _df_to_arrow
-    resolved, _bad = _merge(group)
-    return _df_to_arrow(pd.DataFrame(
-        {
-            "url": resolved["url"].to_numpy(),
-            "ref_idx": resolved["ref"].to_numpy(dtype=np.int64),
-            "lat_udeg": np.floor(
-                resolved["lat"].to_numpy(dtype=np.float64) * 1e6 + 0.5
-            ).astype(np.int64),
-            "lon_udeg": np.floor(
-                resolved["lon"].to_numpy(dtype=np.float64) * 1e6 + 0.5
-            ).astype(np.int64),
-        }
-    ))
-
-
-def resolve_errors_group(group: pd.DataFrame):
-    _resolved, bad = _merge(group)
     return pa.table(
         {
-            "url": pa.array(list(bad), type=pa.string()),
+            "url": url,
+            "ref_idx": pa.array(r["ref"]),
+            "lat_udeg": pa.array(
+                np.floor(r["lat"] * 1e6 + 0.5).astype(np.int64)
+            ),
+            "lon_udeg": pa.array(
+                np.floor(r["lon"] * 1e6 + 0.5).astype(np.int64)
+            ),
+        }
+    )
+
+
+def resolve_errors_group(group: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    _resolved, bad = _merge(group)
+    url = pc.binary_join_element_wise(
+        synth.URL_PREFIX, pc.cast(pa.array(bad), pa.string()), ""
+    )
+    return pa.table(
+        {
+            "url": url,
             "error": pa.array(
                 [f"missing node ref {DANGLING_REF}"] * len(bad), type=pa.string()
             ),
@@ -103,8 +132,10 @@ def resolve_errors_group(group: pd.DataFrame):
 
 def _tagged_union(sf_dir: str):
     from ..pipelines import datasets
+    from .overlaps import n_shuffle_buckets
 
     mentions = datasets.mentions_ds(sf_dir)
+    nb = n_shuffle_buckets()  # driver-resolved, captured by the closures
 
     def node_rows(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -120,12 +151,12 @@ def _tagged_union(sf_dir: str):
                 "lon": b["lon"],
                 "ref": pa.nulls(len(b), pa.int64()),
                 "kind": pa.array(np.zeros(len(b), dtype=np.int64)),
-                "bucket": pa.array(bucket_of(doc)),
+                "bucket": pa.array(bucket_of(doc, nb)),
             }
         )
 
     def ref_rows(b: pa.Table) -> pa.Table:
-        r = refs_from_mentions(b)
+        r = refs_from_mentions(b, n_buckets=nb)
         return pa.table(
             {
                 "url": r["url"],
@@ -175,60 +206,72 @@ def relation_members(batch: pa.Table) -> pa.Table:
     )
 
 
-def resolve_relations_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Bucket co-group: kind 0 = node keys (doc, midx), kind 1 = way
-    keys (doc), kind 2 = relation keys (doc), kind 3 = member rows
-    keyed by ref_doc. Emits every member with its resolved flag
-    (incomplete members are logged-but-kept, the reference keeps a
-    relation while any member resolves)."""
-    nodes = group[group["kind"] == 0]
-    ways = set(group.loc[group["kind"] == 1, "key_doc"].astype(np.int64))
-    rels = set(group.loc[group["kind"] == 2, "key_doc"].astype(np.int64))
-    node_keys = set(
-        zip(
-            nodes["key_doc"].astype(np.int64),
-            nodes["key_idx"].astype(np.int64),
-        )
+_REL_EMPTY = pa.schema(
+    [
+        ("url", pa.string()),
+        ("member_idx", pa.int64()),
+        ("member_type", pa.string()),
+        ("role", pa.string()),
+        ("resolved", pa.int64()),
+    ]
+).empty_table()
+
+
+def resolve_relations_group(group: pa.Table) -> pa.Table:
+    """Bucket co-group (Arrow in/out): kind 0 = node keys (doc, midx),
+    kind 1 = way keys (doc), kind 2 = relation keys (doc), kind 3 =
+    member rows keyed by ref_doc. Emits every member with its resolved
+    flag (incomplete members are logged-but-kept, the reference keeps
+    a relation while any member resolves). Lookups are sorted-array
+    np.isin probes — no Python sets."""
+    import pyarrow.compute as pc
+
+    from .overlaps import col_np
+
+    kind = col_np(group, "kind", np.int64)
+    key_doc = col_np(group, "key_doc", np.int64)
+    key_idx = col_np(group, "key_idx", np.int64)
+    mrows = np.nonzero(kind == 3)[0]
+    if len(mrows) == 0:
+        return _REL_EMPTY
+    node_arr = key_doc[kind == 0] * 16 + key_idx[kind == 0]
+    way_arr = key_doc[kind == 1]
+    rel_arr = key_doc[kind == 2]
+    tbl = (
+        group if isinstance(group, pa.Table)
+        else pa.Table.from_pandas(group, preserve_index=False)
     )
-    members = group[group["kind"] == 3]
-    if len(members) == 0:
-        return pa.table(
-            {
-                "url": pa.array([], type=pa.string()),
-                "member_idx": pa.array([], type=pa.int64()),
-                "member_type": pa.array([], type=pa.string()),
-                "role": pa.array([], type=pa.string()),
-                "resolved": pa.array([], type=pa.int64()),
-            }
-        )
-    mtype = members["member_type"].to_numpy()
-    ref_doc = members["ref_doc"].to_numpy(dtype=np.int64)
-    ref_idx = members["ref_idx"].to_numpy(dtype=np.int64)
-    node_arr = np.array(
-        sorted(d * 16 + i for d, i in node_keys), dtype=np.int64
-    )
-    way_arr = np.array(sorted(ways), dtype=np.int64)
-    rel_arr = np.array(sorted(rels), dtype=np.int64)
+    members = tbl.take(pa.array(mrows))
+    mtype = members["member_type"]
+    if isinstance(mtype, pa.ChunkedArray):
+        mtype = mtype.combine_chunks()
+    is_node = pc.equal(mtype, "node").to_numpy(zero_copy_only=False)
+    is_way = pc.equal(mtype, "way").to_numpy(zero_copy_only=False)
+    ref_doc = col_np(members, "ref_doc", np.int64)
+    ref_idx = col_np(members, "ref_idx", np.int64)
     res = np.where(
-        mtype == "node",
+        is_node,
         np.isin(ref_doc * 16 + ref_idx, node_arr),
         np.where(
-            mtype == "way",
+            is_way,
             np.isin(ref_doc, way_arr),
             np.isin(ref_doc, rel_arr),
         ),
     ).astype(np.int64)
-    from .overlaps import _df_to_arrow
-    return _df_to_arrow(pd.DataFrame(
+    url = pc.binary_join_element_wise(
+        synth.URL_PREFIX,
+        pc.cast(members["rel_doc"].combine_chunks(), pa.string()),
+        "",
+    )
+    return pa.table(
         {
-            "url": synth.URL_PREFIX
-            + members["rel_doc"].astype(np.int64).astype(str),
-            "member_idx": members["member_idx"].astype(np.int64).to_numpy(),
-            "member_type": members["member_type"].to_numpy(),
-            "role": members["role"].to_numpy(),
-            "resolved": np.array(res, dtype=np.int64),
+            "url": url,
+            "member_idx": members["member_idx"].cast(pa.int64()),
+            "member_type": mtype,
+            "role": members["role"],
+            "resolved": pa.array(res),
         }
-    ))
+    )
 
 
 def resolve_relations(sf_dir: str):
@@ -236,8 +279,11 @@ def resolve_relations(sf_dir: str):
     the referenced doc."""
     from ..pipelines import datasets
 
+    from .overlaps import n_shuffle_buckets
+
     mentions = datasets.mentions_ds(sf_dir)
     docs = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    nb = n_shuffle_buckets()  # driver-resolved, captured by the closures
 
     def node_keys(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -269,7 +315,7 @@ def resolve_relations(sf_dir: str):
                 "ref_doc": m["ref_doc"],
                 "ref_idx": m["ref_idx"],
                 "role": m["role"],
-                "bucket": pa.array(bucket_of(m["ref_doc"].to_numpy())),
+                "bucket": pa.array(bucket_of(m["ref_doc"].to_numpy(), nb)),
             }
         )
 
@@ -282,7 +328,7 @@ def resolve_relations(sf_dir: str):
             .append_column("ref_doc", pa.nulls(n, pa.int64()))
             .append_column("ref_idx", pa.nulls(n, pa.int64()))
             .append_column("role", pa.nulls(n, pa.string()))
-            .append_column("bucket", pa.array(bucket_of(t["key_doc"].to_numpy())))
+            .append_column("bucket", pa.array(bucket_of(t["key_doc"].to_numpy(), nb)))
         )
 
     nodes = mentions.map_batches(node_keys, batch_format="pyarrow").map_batches(
@@ -297,7 +343,7 @@ def resolve_relations(sf_dir: str):
     members = docs.map_batches(member_rows, batch_format="pyarrow")
     union = nodes.union(ways).union(rels).union(members)
     return bucket_groups(
-        union, resolve_relations_group, batch_format="pandas"
+        union, resolve_relations_group, batch_format="pyarrow"
     )
 
 
@@ -313,11 +359,11 @@ def _keyrow(doc: np.ndarray, idx: np.ndarray, kind: int) -> pa.Table:
 
 def resolve_ways(sf_dir: str):
     return bucket_groups(
-        _tagged_union(sf_dir), resolve_group, batch_format="pandas"
+        _tagged_union(sf_dir), resolve_group, batch_format="pyarrow"
     )
 
 
 def resolve_way_errors(sf_dir: str):
     return bucket_groups(
-        _tagged_union(sf_dir), resolve_errors_group, batch_format="pandas"
+        _tagged_union(sf_dir), resolve_errors_group, batch_format="pyarrow"
     )

@@ -93,7 +93,7 @@ def rel_base(doc_id: np.ndarray):
     return blat, blon
 
 
-def members_from_docs(batch: pa.Table) -> pa.Table:
+def members_from_docs(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     """documents batch -> flattened member-way node rows."""
     doc = batch["doc_id"].to_numpy().astype(np.int64)
     blat, blon = rel_base(doc)
@@ -120,7 +120,7 @@ def members_from_docs(batch: pa.Table) -> pa.Table:
             "node_id": pa.array(np.concatenate(rows_nid)),
             "lat": pa.array(np.concatenate(rows_lat)),
             "lon": pa.array(np.concatenate(rows_lon)),
-            "bucket": pa.array(bucket_of(rel_doc)),
+            "bucket": pa.array(bucket_of(rel_doc, n_buckets)),
         }
     )
 
@@ -259,16 +259,31 @@ def _relation_has_many_tags(doc: int) -> bool:
     return doc % 2 == 0
 
 
-def assemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    """One bucket: assemble every relation in it."""
+def assemble_group(group) -> pa.Table:
+    """One bucket: assemble every relation in it (Arrow in; the ring
+    assembly itself is the reference's inherently sequential
+    NodeSequence walk, so per-relation Python is the algorithm, not a
+    conversion tax — relation size is template-bounded)."""
+    from .overlaps import col_np
+
     out_url, out_h, out_n, out_a, out_rel = [], [], [], [], []
-    g = group.iloc[np.argsort(group["rel_doc"].to_numpy(), kind="stable")]
-    for doc, sub in g.groupby("rel_doc", sort=False):
+    rel_doc = col_np(group, "rel_doc", np.int64)
+    node_id = col_np(group, "node_id", np.int64)
+    lat = col_np(group, "lat", np.float64)
+    lon = col_np(group, "lon", np.float64)
+    order = np.argsort(rel_doc, kind="stable")
+    rel_doc, node_id = rel_doc[order], node_id[order]
+    lat, lon = lat[order], lon[order]
+    starts = np.concatenate(
+        ([0], np.nonzero(rel_doc[1:] != rel_doc[:-1])[0] + 1, [len(rel_doc)])
+    )
+    for si, ei in zip(starts[:-1], starts[1:]):
+        doc = rel_doc[si]
         cls = int(doc) % 5
         members = REL_TEMPLATES[cls]
         coords = {
             int(n): (float(la), float(lo))
-            for n, la, lo in zip(sub["node_id"], sub["lat"], sub["lon"])
+            for n, la, lo in zip(node_id[si:ei], lat[si:ei], lon[si:ei])
         }
         for hc, nn, area, is_rel in assemble_relation(int(doc), members, coords):
             out_url.append(f"{synth.URL_PREFIX}{int(doc)}")
@@ -300,8 +315,14 @@ def assemble_group(group: pd.DataFrame) -> pd.DataFrame:
 def assemble_rings(sf_dir: str):
     from ..pipelines import datasets
 
+    from .overlaps import n_shuffle_buckets
+
     docs = datasets.documents_ds(sf_dir, columns=["doc_id"])
-    members = docs.map_batches(members_from_docs, batch_format="pyarrow")
+    members = docs.map_batches(
+        members_from_docs,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": n_shuffle_buckets()},
+    )
     return bucket_groups(
-        members, lambda g: assemble_group(g), batch_format="pandas"
+        members, lambda g: assemble_group(g), batch_format="pyarrow"
     )

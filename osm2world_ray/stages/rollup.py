@@ -60,9 +60,11 @@ def exchange_bucket_count() -> int:
     return count
 
 
-def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
+def partial_tile_url_counts(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     """(tx, ty, url, ...) batch -> partial (bucket, tile_key,
-    page_key, n).
+    page_key, n). ``n_buckets`` is the driver-resolved exchange bucket
+    count (:func:`exchange_bucket_count`), passed via ``fn_kwargs`` so
+    every map task hashes with the same value.
 
     Two byte-diet rules for the exchange (each byte through the sort
     costs ~3 passes on the materialize+sample+merge path): the url
@@ -95,7 +97,7 @@ def partial_tile_url_counts(batch: pa.Table) -> pa.Table:
     part = part.rename_columns(["tile_key", "page_key", "n"])
     return part.append_column(
         "bucket",
-        pa.array(bucket_of(part["tile_key"].to_numpy(), exchange_bucket_count())),
+        pa.array(bucket_of(part["tile_key"].to_numpy(), n_buckets)),
     )
 
 
@@ -136,7 +138,11 @@ def rollup_exchange(partials_ds):
 
 def tile_rollup(assigned_ds):
     """Dataset with (tx, ty, url) -> per-tile rollup Dataset."""
-    ds = assigned_ds.map_batches(partial_tile_url_counts, batch_format="pyarrow")
+    ds = assigned_ds.map_batches(
+        partial_tile_url_counts,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": exchange_bucket_count()},
+    )
     return rollup_exchange(ds)
 
 

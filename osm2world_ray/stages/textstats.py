@@ -135,21 +135,39 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _texts_and_ids(batch):
+    """(texts, doc_id) as Arrow arrays from either a pandas frame or an
+    Arrow table — the kernels are Arrow-native; pandas callers pay one
+    conversion here, Arrow callers none."""
+    if isinstance(batch, pa.Table):
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_id = batch["doc_id"].cast(pa.int64())
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return texts, doc_id
+    return (
+        pa.array(batch["text"].to_numpy(), type=pa.string()),
+        pa.array(batch["doc_id"].to_numpy(dtype=np.int64)),
+    )
+
+
 class QualityScore:
     """documents batch -> integer quality signals per doc:
     n_tokens (single-space split, DuckDB string_split semantics),
     n_chars, stopword_count (en profile), n_words_regex (BPE-ish
     ``[a-z]+|[0-9]+`` token count). Fully vectorized: Arrow C++
     split/is_in/count_substring_regex kernels + one bincount — no
-    per-row Python."""
+    per-row Python. Arrow in/out (pandas frames accepted)."""
 
     def __init__(self):
         self.stop = pa.array(sorted(_LANG_STOPWORDS["en"]))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch) -> pa.Table:
         import pyarrow.compute as pc
 
-        texts = pa.array(batch["text"].to_numpy(), type=pa.string())
+        texts, doc_id = _texts_and_ids(batch)
         flat, idx, n_tokens = _split_tokens(texts)
         hit = pc.is_in(flat, value_set=self.stop).to_numpy(
             zero_copy_only=False
@@ -160,15 +178,13 @@ class QualityScore:
         n_words = pc.count_substring_regex(
             texts, "[a-z]+|[0-9]+"
         ).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "n_tokens": n_tokens,
-                "n_chars": pc.utf8_length(texts)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-                "stopword_count": stop_n,
-                "n_words_regex": n_words,
+                "doc_id": doc_id,
+                "n_tokens": pa.array(np.asarray(n_tokens, dtype=np.int64)),
+                "n_chars": pc.utf8_length(texts).cast(pa.int64()),
+                "stopword_count": pa.array(stop_n),
+                "n_words_regex": pa.array(n_words),
             }
         )
 
@@ -188,10 +204,10 @@ class LangId:
             k: sorted(v) for k, v in _LANG_STOPWORDS.items()
         }
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch) -> pa.Table:
         import pyarrow.compute as pc
 
-        texts = pa.array(batch["text"].to_numpy(), type=pa.string())
+        texts, doc_id = _texts_and_ids(batch)
         flat, idx, _ = _split_tokens(
             pc.utf8_lower(texts), whitespace_runs=True
         )
@@ -205,10 +221,10 @@ class LangId:
         best = counts.argmax(axis=0)  # first max = dict-order tie-break
         guess = np.array(_LANG_ORDER, dtype=object)[best]
         guess[counts.max(axis=0) == 0] = "und"
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "lang_guess": pd.Series(guess, dtype=object),
+                "doc_id": doc_id,
+                "lang_guess": pa.array(guess.astype(str), type=pa.string()),
             }
         )
 
@@ -272,3 +288,31 @@ def lang_id_batch(batch):
 
 def fingerprint_batch(batch):
     return _FINGERPRINT_STAGE(batch)
+
+
+_CF_EMPTY = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("stopword_count", pa.int64()),
+    ]
+).empty_table()
+
+
+def corpus_filter_batch(batch: pa.Table, *, min_tokens: int,
+                        min_stop: int) -> pa.Table:
+    """End-to-end curation chain as ONE fused Arrow task: language gate
+    -> quality gates (minimum token count + stopword floor, the
+    C4-style heuristics). Dropped rows never leave the worker — no
+    shuffle, no actor pool (the chain holds no per-actor state)."""
+    import pyarrow.compute as pc
+
+    b = batch.filter(pc.equal(batch["lang"], "en"))
+    if len(b) == 0:
+        return _CF_EMPTY
+    s = _QUALITY_STAGE(b)
+    ok = pc.and_(
+        pc.greater_equal(s["n_tokens"], pa.scalar(min_tokens, pa.int64())),
+        pc.greater_equal(s["stopword_count"], pa.scalar(min_stop, pa.int64())),
+    )
+    return s.select(["doc_id", "n_tokens", "stopword_count"]).filter(ok)

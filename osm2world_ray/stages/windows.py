@@ -27,9 +27,10 @@ def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
     return batch[col].cast(pa.int64()).to_numpy()
 
 
-def tumbling_partial(batch: pa.Table) -> pa.Table:
+def tumbling_partial(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     """events batch -> partial per (window, event_type):
-    n, sum_value_cents (integer cents keep the oracle float-free)."""
+    n, sum_value_cents (integer cents keep the oracle float-free).
+    ``n_buckets`` is the driver-resolved shuffle bucket count."""
     win = _ts_us(batch) // WINDOW_US
     etype = batch["event_type"]
     cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
@@ -44,7 +45,7 @@ def tumbling_partial(batch: pa.Table) -> pa.Table:
             "event_type": g["event_type"],
             "sum_cents": g["cents_sum"].cast(pa.int64()),
             "n": g["count_all"].cast(pa.int64()),
-            "bucket": pa.array(bucket_of(g["win"].to_numpy())),
+            "bucket": pa.array(bucket_of(g["win"].to_numpy(), n_buckets)),
         }
     )
 
@@ -69,9 +70,10 @@ def tumbling_combine(group) -> pa.Table:
     )
 
 
-def topk_partial(batch: pa.Table) -> pa.Table:
+def topk_partial(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     """events batch -> partial per-(window, event_type) counts with the
-    window-keyed bucket (all of a window's rows co-locate)."""
+    window-keyed bucket (all of a window's rows co-locate);
+    ``n_buckets`` driver-resolved."""
     win = _ts_us(batch) // WINDOW_US
     t = pa.table({"win": pa.array(win), "event_type": batch["event_type"]})
     g = t.group_by(["win", "event_type"]).aggregate([([], "count_all")])
@@ -80,7 +82,7 @@ def topk_partial(batch: pa.Table) -> pa.Table:
             "win": g["win"],
             "event_type": g["event_type"],
             "n": g["count_all"].cast(pa.int64()),
-            "bucket": pa.array(bucket_of(g["win"].to_numpy())),
+            "bucket": pa.array(bucket_of(g["win"].to_numpy(), n_buckets)),
         }
     )
 
@@ -228,7 +230,7 @@ HOP_US = 300_000_000
 HOP_WINDOW_US = 600_000_000
 
 
-def hopping_partial(batch: pa.Table) -> pa.Table:
+def hopping_partial(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     """events batch -> partial per (hop-window start, event_type):
     the event at t belongs to windows starting at
     (t//HOP - k)*HOP for k in 0..WINDOW/HOP-1 with start > t - WINDOW."""
@@ -259,6 +261,6 @@ def hopping_partial(batch: pa.Table) -> pa.Table:
             "event_type": g["event_type"],
             "sum_cents": g["cents_sum"].cast(pa.int64()),
             "n": g["count_all"].cast(pa.int64()),
-            "bucket": pa.array(bucket_of(g["win"].to_numpy())),
+            "bucket": pa.array(bucket_of(g["win"].to_numpy(), n_buckets)),
         }
     )

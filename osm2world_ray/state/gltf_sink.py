@@ -30,10 +30,18 @@ from .obj_sink import N_OBJ_PARTS, mesh_rows
 
 
 class GltfPartitionWriter:
-    """map_groups callable: one partition's triangles -> atomic .gltf."""
+    """map_groups callable: one partition's triangles -> atomic .gltf
+    (or .gltf.gz / .gltf.zip — ``GltfOutput.java:430-442`` writes the
+    same three variants by filename extension; the tile farm's
+    ``TilesetCommand.java:205-246`` emits ``.glb.gz`` artifacts).
+    Compressed bytes are deterministic: gzip with mtime=0, zip with a
+    fixed entry timestamp."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, compression: str | None = None):
+        if compression not in (None, "gz", "zip"):
+            raise ValueError("compression must be None, 'gz' or 'zip'")
         self.out_dir = out_dir
+        self.compression = compression
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         part = int(group["part"].iloc[0])
@@ -123,9 +131,29 @@ class GltfPartitionWriter:
         }
         os.makedirs(self.out_dir, exist_ok=True)
         tmp = os.path.join(self.out_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(doc_json, f, sort_keys=True, separators=(",", ":"))
-        os.replace(tmp, os.path.join(self.out_dir, f"part-{part}.gltf"))
+        payload = json.dumps(
+            doc_json, sort_keys=True, separators=(",", ":")
+        ).encode()
+        name = f"part-{part}.gltf"
+        if self.compression == "gz":
+            import gzip
+
+            payload = gzip.compress(payload, mtime=0)
+            name += ".gz"
+        elif self.compression == "zip":
+            import io
+            import zipfile
+
+            bio = io.BytesIO()
+            with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+                info = zipfile.ZipInfo(f"part-{part}.gltf",
+                                       date_time=(1980, 1, 1, 0, 0, 0))
+                z.writestr(info, payload)
+            payload = bio.getvalue()
+            name += ".zip"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(self.out_dir, name))
         return pd.DataFrame(
             {
                 "part": [np.int64(part)],
@@ -137,12 +165,12 @@ class GltfPartitionWriter:
         )
 
 
-def export_gltf(sf_dir: str, out_dir: str):
+def export_gltf(sf_dir: str, out_dir: str, *, compression: str | None = None):
     from ..pipelines import datasets
 
     ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
     rows = ds.map_batches(mesh_rows, batch_format="pyarrow")
-    writer = GltfPartitionWriter(out_dir)
+    writer = GltfPartitionWriter(out_dir, compression=compression)
     return rows.groupby("part").map_groups(
         lambda g: writer(g), batch_format="pandas"
     )

@@ -61,13 +61,23 @@ def _mercator_xy(lat: np.ndarray, lon: np.ndarray, zoom: int):
     return mx, my
 
 
-def fan_lod_clip(batch: pa.Table, *, zoom: int = 13) -> pa.Table:
+def fan_lod_clip(batch: pa.Table, *, zoom: int = 13,
+                 exclude_kinds: tuple[int, ...] = ()) -> pa.Table:
     """mentions batch -> per-(mention x covered tile) rows with the
     footprint bbox clipped to the tile rect, LOD-gated. One fused pass:
     tilesForBounds fan-out (TileNumber.java:129-144) + FilterLod +
-    ClipToBounds (MeshStore.java:577-768)."""
+    ClipToBounds (MeshStore.java:577-768). ``exclude_kinds`` drops the
+    mention kinds whose WorldModule was excluded by config
+    (O2WConverterImpl.java:209-241 excludeWorldModule) BEFORE the
+    fan-out."""
     from ..stages.overlaps import doc_ids_of
     from ..stages.tile_assign import fan_out_footprints
+
+    if exclude_kinds:
+        k = batch["kind"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(
+            pa.array(~np.isin(k, np.asarray(exclude_kinds, dtype=k.dtype)))
+        )
 
     # LOD gate first: fewer rows fan out. Per-mention LOD range uses
     # the mesh-chain formula family over the mention key.
@@ -179,6 +189,11 @@ def write_root_tileset(out_dir: str, fingerprint: str) -> dict:
             continue
         with open(os.path.join(root, "manifest.json")) as f:
             m = json.load(f)
+        if m.get("input_fingerprint") != fingerprint:
+            # stale partition from an older input: never let its
+            # metrics (or an orphan tile the new input no longer
+            # covers) into the root manifest
+            continue
         pz, px, py = m["partition"]
         children.append(
             {
@@ -204,7 +219,8 @@ def write_root_tileset(out_dir: str, fingerprint: str) -> dict:
 
 
 def tileset_export(sf_dir: str, out_dir: str, *, zoom: int = 13,
-                   parent_zoom: int = 6, overwrite: str = "never"):
+                   parent_zoom: int = 6, overwrite: str = "older",
+                   config=None):
     """The full tile farm: mentions -> fused fan-out/LOD/clip ->
     bounded partition shuffle -> atomic per-tile artifacts + manifests
     -> root tileset.json. Returns the per-partition metrics TABLE for
@@ -212,15 +228,26 @@ def tileset_export(sf_dir: str, out_dir: str, *, zoom: int = 13,
     writing the root manifest — the one driver-side table, bounded by
     the z``parent_zoom`` grid.
 
-    Resume: partitions whose manifest matches the input fingerprint are
-    filtered out BEFORE the shuffle (driver-side manifest scan +
-    row-level anti-join, ``TilesetCommand.java:140-156`` skip rule); a
-    killed run leaves tmp files and no manifest, so only its partitions
-    recompute.
+    Resume: with the default ``overwrite="older"``, partitions whose
+    manifest matches the input fingerprint are filtered out BEFORE the
+    shuffle (driver-side manifest scan + row-level anti-join,
+    ``TilesetCommand.java:140-156`` skip rule); a killed run leaves tmp
+    files and no manifest, so only its partitions recompute, and a
+    CHANGED input recomputes everything. ``overwrite="never"`` trusts
+    any manifest regardless of fingerprint (cheapest resume; only safe
+    when the input is known unchanged) — the root tileset.json still
+    excludes stale-fingerprint children in that mode.
     """
+    from ..functions.modules import excluded_kinds
     from ..pipelines import datasets
 
+    # WorldModule list/exclusion resolved from config ONCE, driver-side
+    excl = tuple(excluded_kinds(config).tolist()) if config is not None else ()
     fp = input_fingerprint(sf_dir)
+    if excl:
+        # excluded modules change every partition's content: keep their
+        # artifacts separate from full-module runs
+        fp = f"{fp}-excl{''.join(map(str, excl))}"
     done = scan_done_partitions(out_dir, fingerprint=fp, overwrite=overwrite)
     done_packed = np.array(
         sorted((x << 32) | y for (_z, x, y) in done), dtype=np.int64
@@ -245,7 +272,8 @@ def tileset_export(sf_dir: str, out_dir: str, *, zoom: int = 13,
 
     ds = datasets.mentions_ds(sf_dir)
     ds = ds.map_batches(
-        lambda b: fan_lod_clip(b, zoom=zoom), batch_format="pyarrow"
+        lambda b: fan_lod_clip(b, zoom=zoom, exclude_kinds=excl),
+        batch_format="pyarrow",
     ).map_batches(add_parent, batch_format="pyarrow")
     writer = TilePartitionWriter(out_dir, fp)
     metrics = ds.groupby(["pz", "px", "py"]).map_groups(

@@ -74,3 +74,33 @@ def test_writers_atomic_no_tmp_left(tmp_path):
     GltfPartitionWriter(str(tmp_path))(_rows([3]))
     PovPartitionWriter(str(tmp_path))(_rows([3]))
     assert not [f for f in os.listdir(tmp_path) if f.startswith(".tmp-")]
+
+
+def test_gltf_gz_and_zip_variants_roundtrip(tmp_path):
+    """GltfOutput.java:430-442 extension-switched compression: the
+    compressed artifacts must decompress to the byte-identical plain
+    .gltf, deterministically (fixed gzip mtime / zip timestamp)."""
+    import gzip
+    import zipfile
+
+    g = _rows([0, 16])
+    plain_dir = tmp_path / "plain"
+    gz_dir = tmp_path / "gz"
+    zip_dir = tmp_path / "zip"
+    GltfPartitionWriter(str(plain_dir))(g)
+    GltfPartitionWriter(str(gz_dir), compression="gz")(g)
+    GltfPartitionWriter(str(zip_dir), compression="zip")(g)
+    plain = open(plain_dir / "part-0.gltf", "rb").read()
+    assert gzip.decompress(open(gz_dir / "part-0.gltf.gz", "rb").read()) == plain
+    with zipfile.ZipFile(zip_dir / "part-0.gltf.zip") as z:
+        assert z.read("part-0.gltf") == plain
+    # deterministic compressed bytes (re-run -> identical file)
+    gz2 = tmp_path / "gz2"
+    GltfPartitionWriter(str(gz2), compression="gz")(g)
+    assert open(gz2 / "part-0.gltf.gz", "rb").read() == open(
+        gz_dir / "part-0.gltf.gz", "rb"
+    ).read()
+    import pytest
+
+    with pytest.raises(ValueError):
+        GltfPartitionWriter(str(tmp_path), compression="lz4")

@@ -9,7 +9,7 @@ from osm2world_ray.stages import network
 
 def _cuts(doc_ids):
     batch = pa.table({"doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64))})
-    df = network.spokes_from_docs(batch).to_pandas()
+    df = network.spokes_from_docs(batch, n_buckets=64).to_pandas()
     return network.junction_cuts(df).to_pandas()
 
 

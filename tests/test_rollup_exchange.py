@@ -48,7 +48,7 @@ def test_exchange_and_tree_agree():
 
 def test_partials_bucket_space_is_fine():
     t = _assigned_table()
-    part = partial_tile_url_counts(t)
+    part = partial_tile_url_counts(t, n_buckets=1024)
     assert part.column_names == ["tile_key", "page_key", "n", "bucket"]
     b = part["bucket"].to_numpy()
     assert b.min() >= 0 and b.max() < exchange_bucket_count()
@@ -73,7 +73,11 @@ def test_rollup_exchange_handles_split_pages():
     to one distinct-page count (the combine inside the group kernel)."""
     t = _assigned_table(n_pages=10, mentions_per_page=4)
     ds = ray.data.from_arrow(t).repartition(8)  # pages straddle blocks
-    parts = ds.map_batches(partial_tile_url_counts, batch_format="pyarrow")
+    parts = ds.map_batches(
+        partial_tile_url_counts,
+        batch_format="pyarrow",
+        fn_kwargs={"n_buckets": 1024},
+    )
     df = _canon(rollup_exchange(parts).to_pandas())
     # oracle in pandas
     import pandas as pd

@@ -31,7 +31,7 @@ def _batch():
 
 
 def test_quality_score_matches_python_reference():
-    out = QualityScore()(_batch())
+    out = QualityScore()(_batch()).to_pandas()
     stop = _LANG_STOPWORDS["en"]
     wre = re.compile(r"[a-z]+|[0-9]+")
     for i, t in enumerate(_TEXTS):
@@ -43,7 +43,7 @@ def test_quality_score_matches_python_reference():
 
 
 def test_lang_id_matches_python_reference():
-    out = LangId()(_batch())
+    out = LangId()(_batch()).to_pandas()
     for i, t in enumerate(_TEXTS):
         ws = set(t.lower().split())
         best, best_n = "und", 0
