@@ -5806,6 +5806,164 @@ def q_style_materials(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# roof-shape geometry (BuildingModule roof family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "roof_shapes",
+    f"""
+    WITH p AS (
+      SELECT doc_id AS d,
+             doc_id % 6 AS s,
+             10.0 + 0.37*(doc_id % 7) AS bl,
+             4.0 + 0.23*(doc_id % 5) AS bw,
+             ((doc_id // 6) % 2 = 0) AS hc,
+             3.0 + 0.21*(doc_id % 4) AS hh,
+             23.0 + 1.7*(doc_id % 5) AS aa,
+             doc_id % 4 AS k
+      FROM documents
+    ), g AS (
+      SELECT d, s, bl, bw, hc, hh, aa, k,
+        CASE WHEN s = 1 THEN 0.5*bw
+             WHEN s = 5 THEN 0.5*bl
+             WHEN s = 2 THEN sqrt((bw*(1.0/3.0))*(bw*(1.0/3.0))
+                                  + (0.5*bw)*(0.5*bw))
+             WHEN s = 3 THEN CASE WHEN k = 0 OR k = 2 THEN bw ELSE bl END
+             ELSE 0.0 END AS maxd,
+        CASE WHEN s = 1 THEN bl
+             WHEN s = 5 THEN bw
+             WHEN s = 2 THEN bl - 2*(bw*(1.0/3.0))
+             WHEN s = 3 THEN 2*sqrt(bl*bl + bw*bw)
+             ELSE 0.0 END AS rlen,
+        CASE WHEN s = 1 OR s = 2 THEN (0.5*bw - 0.27*bw)/(0.5*bw)
+             WHEN s = 5 THEN (0.5*bl - 0.31*bl)/(0.5*bl)
+             WHEN s = 3 THEN CASE k WHEN 0 THEN (0.27*bw)/bw
+                                    WHEN 1 THEN (0.31*bl)/bl
+                                    WHEN 2 THEN (bw - 0.27*bw)/bw
+                                    ELSE (bl - 0.31*bl)/bl END
+             ELSE 0.0 END AS relp
+      FROM p
+    ), hgt AS (
+      SELECT *, CASE WHEN s = 0 THEN 0.0
+                     WHEN s = 4 OR hc THEN hh
+                     ELSE tan(radians(aa))*maxd END AS rh
+      FROM g
+    )
+    SELECT '{synth.URL_PREFIX}' || d AS url,
+      CASE s WHEN 0 THEN 'flat' WHEN 1 THEN 'gabled' WHEN 2 THEN 'hipped'
+             WHEN 3 THEN 'skillion' WHEN 4 THEN 'pyramidal'
+             ELSE 'gabled' END AS shape,
+      CAST(floor(CASE WHEN s = 2 THEN bw*(1.0/3.0)
+                      WHEN s = 5 THEN 0.5*bl ELSE 0.0 END*1e6 + 0.5)
+           AS BIGINT) AS ridge_x1_u,
+      CAST(floor(CASE WHEN s = 1 OR s = 2 THEN 0.5*bw
+                      WHEN s = 5 THEN bw ELSE 0.0 END*1e6 + 0.5)
+           AS BIGINT) AS ridge_y1_u,
+      CAST(floor(CASE WHEN s = 1 THEN bl
+                      WHEN s = 2 THEN bl - bw*(1.0/3.0)
+                      WHEN s = 5 THEN 0.5*bl ELSE 0.0 END*1e6 + 0.5)
+           AS BIGINT) AS ridge_x2_u,
+      CAST(floor(CASE WHEN s = 1 OR s = 2 THEN 0.5*bw
+                      ELSE 0.0 END*1e6 + 0.5) AS BIGINT) AS ridge_y2_u,
+      CAST(floor(rlen*1e6 + 0.5) AS BIGINT) AS ridge_len_u,
+      CAST(floor(maxd*1e6 + 0.5) AS BIGINT) AS max_dist_u,
+      CAST(floor(rh*1e6 + 0.5) AS BIGINT) AS roof_h_u,
+      CAST(floor(CASE WHEN s = 0 THEN 0.0
+                      WHEN s = 4 THEN hh*((0.27*bw)/(0.5*bw))
+                      ELSE rh - rh*relp END*1e6 + 0.5) AS BIGINT)
+        AS probe_h_u,
+      CAST(CASE s WHEN 1 THEN 1 WHEN 2 THEN 5 WHEN 4 THEN 4 WHEN 5 THEN 1
+                  ELSE 0 END AS BIGINT) AS n_inner
+    FROM hgt
+    """,
+)
+def q_roof_shapes(sf_dir: str):
+    """Tag-described roof-shape geometry (BuildingModule roof family):
+    ridge construction with start/end offsets and caps
+    (roof/RoofWithRidge.java:71-145), the roof:direction /
+    roof:ridge:direction / roof:orientation resolution cascade with
+    precision-class direction snapping (Roof.java:147-219,
+    ridgeDirectionFromTags), preliminary height from roof:height or
+    tan(roof:angle) * slope extent (RoofWithRidge.java:221-235,
+    SkillionRoof.java:95-104), and per-shape height fields sampled at a
+    probe point: gabled (AbstractGabledRoof.java), hipped with the 1/3
+    relative ridge offset and triangular end sectors
+    (HippedRoof.java:12, AbstractHippedRoof.java), skillion upper-edge
+    resolution (SkillionRoof.java:33-80), pyramidal apex fan
+    (PyramidalRoof.java), flat default (Roof.createRoofForShape's
+    default branch). One synthetic rectangular building per document
+    (side lengths from generic decimals so no derived quantity lands on
+    a snap boundary); outputs are micro-snapped local coordinates, so
+    the closed-form oracle checks the full geometry, not just counts."""
+    from ..geo import roofs
+
+    shapes6 = ("flat", "gabled", "hipped", "skillion", "pyramidal", "gabled")
+
+    def u(x: float) -> int:
+        return int(np.floor(x * 1e6 + 0.5))
+
+    def run(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy().astype(np.int64)
+        cols: dict[str, list] = {
+            "url": [], "shape": [], "ridge_x1_u": [], "ridge_y1_u": [],
+            "ridge_x2_u": [], "ridge_y2_u": [], "ridge_len_u": [],
+            "max_dist_u": [], "roof_h_u": [], "probe_h_u": [], "n_inner": [],
+        }
+        for d in doc:
+            d = int(d)
+            s = d % 6
+            length = 10.0 + 0.37 * (d % 7)
+            width = 4.0 + 0.23 * (d % 5)
+            tags: dict[str, str] = {}
+            if s != 0:
+                tags["roof:shape"] = shapes6[s]
+            if s == 5:
+                tags["roof:orientation"] = "across"
+            if s == 3:
+                tags["roof:direction"] = str(90 * (d % 4))
+            if s == 4 or (d // 6) % 2 == 0:
+                tags["roof:height"] = f"{3.0 + 0.21 * (d % 4):.2f}"
+            else:
+                tags["roof:angle"] = f"{23.0 + 1.7 * (d % 5):.1f}"
+            ring = np.array(
+                [[0.0, 0.0], [length, 0.0], [length, width], [0.0, width]]
+            )
+            r = roofs.roof_compute(ring, tags, (0.31 * length, 0.27 * width))
+            ridge = r["ridge"] if r["ridge"] is not None else (0.0,) * 4
+            cols["url"].append(f"{synth.URL_PREFIX}{d}")
+            cols["shape"].append(r["shape"])
+            cols["ridge_x1_u"].append(u(ridge[0]))
+            cols["ridge_y1_u"].append(u(ridge[1]))
+            cols["ridge_x2_u"].append(u(ridge[2]))
+            cols["ridge_y2_u"].append(u(ridge[3]))
+            cols["ridge_len_u"].append(u(r["ridge_len"]))
+            cols["max_dist_u"].append(u(r["max_dist"]))
+            cols["roof_h_u"].append(u(r["roof_h"]) if r["roof_h"] is not None else -1)
+            cols["probe_h_u"].append(
+                u(r["probe_h"]) if r["probe_h"] is not None else -1
+            )
+            cols["n_inner"].append(r["n_inner"])
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], type=pa.string()),
+                "shape": pa.array(cols["shape"], type=pa.string()),
+                **{
+                    k: pa.array(cols[k], type=pa.int64())
+                    for k in (
+                        "ridge_x1_u", "ridge_y1_u", "ridge_x2_u", "ridge_y2_u",
+                        "ridge_len_u", "max_dist_u", "roof_h_u", "probe_h_u",
+                        "n_inner",
+                    )
+                },
+            }
+        )
+
+    return datasets.documents_ds(sf_dir, columns=["doc_id"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 #: queries surfaced FIRST to the driver's correctness sampler (it checks
 #: the leading entries of the dict): operators that have never had a
 #: driver-verified row (rounds 1-2 sampled the first 50 in registration
@@ -5819,7 +5977,7 @@ _SAMPLE_PRIORITY = [
     # are column-pruned). Coverage note: after round 4 every registered
     # query had appeared in at least one CORRECTNESS_r* gate except the
     # new mm_jpeg_decode, which leads here.
-    "mm_jpeg_decode", "corpus_filter", "text_quality", "lang_id",
+    "roof_shapes", "mm_jpeg_decode", "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",
     "tile_rollup_z13", "overlap_aa", "overlap_typed", "overlap_wa",
