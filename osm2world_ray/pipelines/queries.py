@@ -1927,6 +1927,105 @@ def q_mm_resize_plan(sf_dir: str):
 
 
 @register(
+    "mm_y4m_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, 4 + 2 * (doc_id % 5) AS w,
+             4 + 2 * ((doc_id * 3) % 4) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS sub,
+             2 + doc_id % 5 AS nf
+      FROM documents
+    ),
+    fr AS (SELECT doc_id, w, h, sub, unnest(range(0, nf, 2)) AS f FROM d),
+    yx AS (SELECT doc_id, w, h, sub, f, unnest(range(0, w)) AS x FROM fr),
+    yxy AS (SELECT *, unnest(range(0, h)) AS y FROM yx),
+    ysum AS (
+      SELECT doc_id, f,
+             CAST(sum((x*7 + y*13 + f*19 + doc_id*11) % 256) AS BIGINT)
+               AS y_sum
+      FROM yxy GROUP BY 1, 2
+    ),
+    cx AS (SELECT doc_id, w, h, sub, f,
+                  unnest(range(0, w // sub)) AS x FROM fr),
+    cxy AS (SELECT *, unnest(range(0, h // sub)) AS y FROM cx),
+    csum AS (
+      SELECT doc_id, f,
+             CAST(sum((x*5 + y*3 + f*19 + doc_id*11 + 71) % 256) AS BIGINT)
+               AS u_sum,
+             CAST(sum((x*3 + y*11 + f*19 + doc_id*11 + 143) % 256) AS BIGINT)
+               AS v_sum
+      FROM cxy GROUP BY 1, 2
+    )
+    SELECT fr.doc_id, fr.f AS frame_idx, fr.w AS width, fr.h AS height,
+           y_sum, u_sum, v_sum, CAST(0 AS BIGINT) AS error
+    FROM fr
+    JOIN ysum ON ysum.doc_id = fr.doc_id AND ysum.f = fr.f
+    JOIN csum ON csum.doc_id = fr.doc_id AND csum.f = fr.f
+    """,
+)
+def q_mm_y4m_frames(sf_dir: str):
+    """REAL video frame sampling: synth YUV4MPEG2 streams (actual
+    container bytes: header tags + FRAME markers + planar YUV), then a
+    real Y4M parser that walks frames, keeps every 2nd, and sums each
+    plane (stages/multimodal.py). The oracle replays the closed-form
+    plane values per sampled frame. Reference precedent for lazy
+    binary-container decode: SRTMData.java:26-90."""
+    from ..stages.multimodal import (
+        MM_BATCH_SIZE, synth_y4m_payloads, y4m_frame_sample,
+    )
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    ds = ds.map_batches(synth_y4m_payloads, batch_format="pyarrow")
+    return ds.map_batches(
+        y4m_frame_sample, batch_format="pyarrow", batch_size=MM_BATCH_SIZE
+    )
+
+
+@register(
+    "mm_audio_features",
+    """
+    WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+    i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    v AS (
+      SELECT doc_id, n, i,
+             ((i*37 + doc_id*101 + 17) % 4001) - 2000 AS s
+      FROM i
+    ),
+    lagged AS (
+      SELECT doc_id, n, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM v
+    )
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(0 AS BIGINT) AS error
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def q_mm_audio_features(sf_dir: str):
+    """REAL audio decode + features: synth RIFF/WAVE payloads written
+    by the stdlib ``wave`` module (16-bit PCM mono), decoded back
+    through ``wave`` per clip, then vectorized integer features
+    (sum_abs, sum_sq energy, peak, strict-sign zero crossings). The
+    oracle replays the closed-form sample formula with a lag window
+    for the crossings."""
+    from ..stages.multimodal import (
+        MM_BATCH_SIZE, audio_features, synth_wav_payloads,
+    )
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    ds = ds.map_batches(synth_wav_payloads, batch_format="pyarrow")
+    return ds.map_batches(
+        audio_features, batch_format="pyarrow", batch_size=MM_BATCH_SIZE
+    )
+
+
+@register(
     "mm_frame_sample",
     """
     WITH f AS (
@@ -5977,7 +6076,9 @@ _SAMPLE_PRIORITY = [
     # are column-pruned). Coverage note: after round 4 every registered
     # query had appeared in at least one CORRECTNESS_r* gate except the
     # new mm_jpeg_decode, which leads here.
-    "roof_shapes", "mm_jpeg_decode", "corpus_filter", "text_quality", "lang_id",
+    "roof_shapes", "mm_jpeg_decode", "tileset_export_exclude", "export_gltf_gz",
+    "mm_y4m_frames", "mm_audio_features",
+    "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",
     "tile_rollup_z13", "overlap_aa", "overlap_typed", "overlap_wa",
