@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     # round-4 additions
     "road_lanes",            # RoadModule lane/width derivation
     "tileset_export",        # tile-farm capstone: fan-out+LOD+clip+atomic sink
+    # round-5 additions
+    "roof_shapes",           # per-shape roof geometry (ridge/height fields)
+    "corpus_filter",         # fused Arrow curation chain (pool removed in r5)
 ]
 
 
@@ -342,6 +345,55 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_replicated(sf_dir: str, num_cpus: int) -> dict:
+    """Replicated-scale audit of the heavy pairwise joins: sf0.1 x
+    GRAFT_REPLICA_REPS (default 16) replicas with distinct doc_ids —
+    ~16x the density the per-round bench sees — to exercise salting
+    depth, bucket sizing and (for minhash) hot exact-dup LSH buckets.
+    Reports rows/s and the object-store spill count for BASELINE.md §4.
+    Row-count invariants vs the 1x run: overlap_aa/segments scale
+    ~linearly (replica coordinates are distinct — doc_id + r*1e7 shifts
+    every synth formula); minhash pairs grow ~quadratically in repeat
+    because replica texts are IDENTICAL (every replica group is an
+    exact-dup cluster — the worst-case near-dup density by design)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from osm2world_ray.pipelines.queries import all_queries
+
+    qs = all_queries()
+    reps = int(os.environ.get("GRAFT_REPLICA_REPS", "16"))
+    jobs = ["overlap_aa", "segment_intersections", "dedup_minhash_lsh"]
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in jobs:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](sf_dir, repeat=reps))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    from ray._private.internal_api import memory_summary
+
+    mem = memory_summary(stats_only=True)
+    spilled = "Spilled" in mem
+    docs = _doc_count(sf_dir) * reps
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "replicated-scale heavy-join audit wall-time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "replicas": reps,
+        "docs": docs,
+        "docs_per_sec": round(docs * len(jobs) / total, 1),
+        "spilled": spilled,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_stress(sf_dir: str, num_cpus: int) -> dict:
     """20M-doc flagship stress (sf0.1 x 4096 replicas): sustained
     throughput + spill check for BASELINE.md §4."""
@@ -373,6 +425,9 @@ def main() -> None:
     args = sys.argv[1:]
     if "--stress" in args:
         print(json.dumps(run_stress(SF_DIR, NUM_CPUS)))
+        return
+    if "--replicated" in args:
+        print(json.dumps(run_replicated(SF_DIR, NUM_CPUS)))
         return
     if "--single-exchange" in args:
         cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else NUM_CPUS

@@ -7,6 +7,8 @@ materializes until the caller consumes. They never call ``ray.init``
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from ..sources.pages import read_pages
 from ..stages.extract import extract_mentions, extract_text
 
@@ -86,12 +88,39 @@ def texts_ds(sf_dir: str, *, repeat: int = 1,
     return extract_text(pages_ds(sf_dir, repeat=repeat), concurrency=concurrency)
 
 
-def documents_ds(sf_dir: str, *, columns: list[str] | None = None):
+def documents_ds(sf_dir: str, *, columns: list[str] | None = None,
+                 repeat: int = 1):
     """Raw documents table (column-pruned read; Ray auto-splits the
-    single file into ~parallelism blocks, no repartition needed)."""
+    single file into ~parallelism blocks, no repartition needed).
+
+    ``repeat`` replicates every document with a distinct synthetic
+    ``doc_id`` (``doc_id + r * 10**7``) but IDENTICAL payload columns —
+    benchmark-only, same independent-read-task shape as
+    :func:`osm2world_ray.sources.pages.read_pages`: one bundled read
+    task per replica group, no replication barrier. Identical texts
+    make every replica group an exact near-dup cluster, which is the
+    point of the replicated dedup audit (hot LSH buckets at density)."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    path = f"{sf_dir}/documents.parquet"
+    if repeat > 1:
+        def _read_replica(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            out = []
+            for r in batch["id"].to_pylist():
+                t = pq.read_table(path, columns=columns)
+                idx = t.schema.get_field_index("doc_id")
+                out.append(t.set_column(
+                    idx, "doc_id", pc.add(t["doc_id"], r * 10_000_000)
+                ))
+            return pa.concat_tables(out)
+
+        return rd.range(
+            repeat, override_num_blocks=min(repeat, 64)
+        ).map_batches(_read_replica, batch_format="pyarrow")
+    return rd.read_parquet(path, columns=columns)
 
 
 def events_ds(sf_dir: str, *, columns: list[str] | None = None):

@@ -602,7 +602,7 @@ def _overlap_pairs_from(mentions_ds, *, urlized: bool = True):
     FROM tu WHERE t > 0 AND t < 1 AND u > 0 AND u < 1
     """,
 )
-def q_segment_intersections(sf_dir: str):
+def q_segment_intersections(sf_dir: str, *, repeat: int = 1):
     """Segment x segment true intersections (MapIntersectionWW,
     OSMToMapDataConverter.java:486-509): pages' mention polylines split
     into way segments, fanned to the cells each segment CROSSES (line
@@ -615,7 +615,7 @@ def q_segment_intersections(sf_dir: str):
     from ..stages import overlaps
     from ..stages.extract import SegmentExtractor
 
-    ds = datasets.pages_ds(sf_dir).map_batches(
+    ds = datasets.pages_ds(sf_dir, repeat=repeat).map_batches(
         SegmentExtractor,
         batch_format="pyarrow",
         batch_size=None,
@@ -1023,7 +1023,7 @@ def _minhash_cte() -> str:
             JOIN sizes sb ON sb.doc_id = i.doc_b)"""
 
 
-def _minhash_pairs_ds(sf_dir: str):
+def _minhash_pairs_ds(sf_dir: str, *, repeat: int = 1):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold
     0.8 over the distinct shingle-hash sets). The 100 TB-safe shape:
 
@@ -1047,7 +1047,7 @@ def _minhash_pairs_ds(sf_dir: str):
         verify_pairs,
     )
 
-    docs = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    docs = datasets.documents_ds(sf_dir, columns=["doc_id", "text"], repeat=repeat)
     bands = docs.map_batches(minhash_band_rows_batch, batch_format="pyarrow")
     nb = overlaps.n_shuffle_buckets()
 
@@ -1061,7 +1061,9 @@ def _minhash_pairs_ds(sf_dir: str):
     )
 
     def sh_ds():
-        return datasets.documents_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
+        return datasets.documents_ds(
+            sf_dir, columns=["doc_id", "text"], repeat=repeat
+        ).map_batches(
             shingle_hashes_batch, batch_format="pyarrow"
         )
 
@@ -1133,10 +1135,10 @@ def _minhash_pairs_ds(sf_dir: str):
 
 
 @register("dedup_minhash_lsh", _minhash_lsh_sql())
-def q_dedup_minhash_lsh(sf_dir: str):
+def q_dedup_minhash_lsh(sf_dir: str, *, repeat: int = 1):
     """See :func:`_minhash_pairs_ds` (the shared near-dup pair
     pipeline; also feeds ``dedup_clusters``)."""
-    return _minhash_pairs_ds(sf_dir)
+    return _minhash_pairs_ds(sf_dir, repeat=repeat)
 
 
 @register(
@@ -3969,7 +3971,7 @@ typed AS (
     FROM typed WHERE code > 0
     """,
 )
-def q_overlap_aa(sf_dir: str):
+def q_overlap_aa(sf_dir: str, *, repeat: int = 1):
     """Typed area x area overlap join over mixed outline families
     (axis-aligned rects, rotated diamonds, concave Ls): shared-segment
     short-circuit, true outline intersection with the common-node
@@ -3981,7 +3983,7 @@ def q_overlap_aa(sf_dir: str):
     true intersections + per-class PIP closed forms)."""
     from ..stages.aa_overlap import overlap_aa
 
-    return overlap_aa(datasets.mentions_ds(sf_dir))
+    return overlap_aa(datasets.mentions_ds(sf_dir, repeat=repeat))
 
 
 ORACLES["overlap_aa_unsalted"] = ORACLES["overlap_aa"]
