@@ -1376,6 +1376,123 @@ def q_fingerprint_md5(sf_dir: str):
     )
 
 
+def _stratified_sample_sql() -> str:
+    from ..stages.sample import (
+        DEFAULT_PERMILLE, SAMPLE_MOD, SAMPLE_MULT, sample_rate_sql,
+    )
+
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} % 1000
+          < {sample_rate_sql("lang", default=DEFAULT_PERMILLE)}
+    """
+
+
+@register("stratified_sample", _stratified_sample_sql())
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: keep a per-language fraction
+    of documents chosen by a multiplicative hash of doc_id — map-only,
+    no shuffle, no RNG state, identical membership at every cluster
+    size (stages/sample.py). The curation shape: keep all head-language
+    docs, downsample the tail to fixed permille rates."""
+    from ..stages.sample import stratified_sample_batch
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "lang", "source"])
+    return ds.map_batches(stratified_sample_batch, batch_format="pyarrow")
+
+
+@register(
+    "event_percentiles",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+      FROM events
+    ),
+    c AS (SELECT event_type, v100, count(*) AS cnt FROM v GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v100,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v100) AS cc,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN cc >= (50*n + 99) // 100 THEN v100 END)
+                AS BIGINT) AS p50_c,
+           CAST(min(CASE WHEN cc >= (90*n + 99) // 100 THEN v100 END)
+                AS BIGINT) AS p90_c,
+           CAST(min(CASE WHEN cc >= (99*n + 99) // 100 THEN v100 END)
+                AS BIGINT) AS p99_c,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_event_percentiles(sf_dir: str):
+    """Distributed EXACT percentiles (p50/p90/p99) of event value per
+    type via a bounded-domain histogram tree (stages/quantiles.py):
+    per-batch pyarrow C++ group_by partials -> fanin compaction ->
+    single tiny finalize. No sort, no sketch error; only O(types x
+    grid) histogram rows ever cross the wire. The oracle mirrors the
+    cumulative-count quantile definition with window sums."""
+    from ..stages.quantiles import event_percentiles
+
+    ds = datasets.events_ds(sf_dir, columns=["event_type", "value"])
+    return event_percentiles(ds)
+
+
+def _pii_scrub_sql() -> str:
+    from ..stages.textstats import PII_EMAIL_PAT, PII_PHONE_PAT
+
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' call +1-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text2
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text2, '{PII_EMAIL_PAT}'))
+                  AS BIGINT) AS n_emails,
+             regexp_replace(text2, '{PII_EMAIL_PAT}', '[EMAIL]', 'g')
+               AS masked1
+      FROM aug
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(masked1, '{PII_PHONE_PAT}'))
+                AS BIGINT) AS n_phones,
+           CAST(octet_length(
+             encode(regexp_replace(masked1, '{PII_PHONE_PAT}',
+                                   '[PHONE]', 'g'))) AS BIGINT)
+             AS masked_len,
+           md5(regexp_replace(masked1, '{PII_PHONE_PAT}', '[PHONE]', 'g'))
+             AS masked_md5
+    FROM m
+    """
+
+
+@register("pii_scrub", _pii_scrub_sql())
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing with full-output verification: deterministic
+    synthetic emails/phones injected into the corpus, then counted and
+    masked with Arrow's RE2 kernels (count_substring_regex /
+    replace_substring_regex — vectorized, no per-row Python regex).
+    The md5 of the masked text verifies the ENTIRE scrubbed output
+    against DuckDB's regexp_replace (both engines run RE2, so match
+    semantics agree by construction)."""
+    from ..stages.textstats import pii_augment_batch, pii_scrub_batch
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        pii_augment_batch, batch_format="pyarrow"
+    ).map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
 def _lang_id_sql() -> str:
     from ..stages.textstats import _LANG_STOPWORDS
 
@@ -6080,6 +6197,7 @@ _SAMPLE_PRIORITY = [
     # new mm_jpeg_decode, which leads here.
     "roof_shapes", "mm_jpeg_decode", "tileset_export_exclude", "export_gltf_gz",
     "mm_y4m_frames", "mm_audio_features",
+    "stratified_sample", "event_percentiles", "pii_scrub",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",

@@ -316,3 +316,83 @@ def corpus_filter_batch(batch: pa.Table, *, min_tokens: int,
         pc.greater_equal(s["stopword_count"], pa.scalar(min_stop, pa.int64())),
     )
     return s.select(["doc_id", "n_tokens", "stopword_count"]).filter(ok)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (RE2-vectorized masking with full-output verification)
+# ---------------------------------------------------------------------------
+
+#: RE2 patterns evaluated by Arrow's C++ regex kernels AND DuckDB's
+#: regexp functions (both RE2) — identical match semantics by
+#: construction, no Python `re` in the hot path
+PII_EMAIL_PAT = r"[a-z0-9]+@example\.com"
+PII_PHONE_PAT = r"\+1-555-[0-9]{4}"
+
+
+def pii_augment_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, text2) with deterministic synthetic
+    PII appended (emails for doc%3==0, phones for doc%5==0) — the synth
+    side of the scrub oracle, mirrored verbatim in SQL string concat.
+    Suffix construction is O(rows) tiny strings; the join back onto the
+    text column is Arrow C++."""
+    import pyarrow.compute as pc
+
+    doc = batch["doc_id"].to_numpy()
+    email = [
+        f" contact{d}@example.com" if d % 3 == 0 else "" for d in doc.tolist()
+    ]
+    phone = [
+        f" call +1-555-{d % 10000:04d}" if d % 5 == 0 else ""
+        for d in doc.tolist()
+    ]
+    text2 = pc.binary_join_element_wise(
+        batch["text"].combine_chunks().cast(pa.string()),
+        pa.array(email, type=pa.string()),
+        pa.array(phone, type=pa.string()),
+        "",
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text2": text2})
+
+
+def pii_scrub_batch(batch: pa.Table, *, text_col: str = "text2") -> pa.Table:
+    """(doc_id, text2) -> (doc_id, n_emails, n_phones, masked_len,
+    masked_md5): count and mask email/phone PII with Arrow's RE2
+    kernels (count_substring_regex / replace_substring_regex — fully
+    vectorized, no per-row Python regex), then fingerprint the masked
+    text with md5 so the oracle verifies the ENTIRE masked output, not
+    just the counts. md5 is inherently per-row but runs over the
+    decoded buffer views only (same pattern as fingerprint_batch)."""
+    import pyarrow.compute as pc
+
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    n_emails = pc.count_substring_regex(t, PII_EMAIL_PAT).cast(pa.int64())
+    masked = pc.replace_substring_regex(
+        t, PII_EMAIL_PAT, replacement="[EMAIL]"
+    )
+    n_phones = pc.count_substring_regex(
+        masked, PII_PHONE_PAT
+    ).cast(pa.int64())
+    masked = pc.replace_substring_regex(
+        masked, PII_PHONE_PAT, replacement="[PHONE]"
+    )
+    buf = masked.buffers()
+    width = np.int64 if pa.types.is_large_string(masked.type) else np.int32
+    offs = np.frombuffer(buf[1], dtype=width)[
+        masked.offset:masked.offset + len(masked) + 1
+    ]
+    mv = memoryview(buf[2]) if buf[2] is not None else memoryview(b"")
+    md5s = [
+        hashlib.md5(mv[s:e]).hexdigest()
+        for s, e in zip(offs[:-1].tolist(), offs[1:].tolist())
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "masked_len": pc.binary_length(masked).cast(pa.int64()),
+            "masked_md5": pa.array(md5s, type=pa.string()),
+        }
+    )
