@@ -1493,6 +1493,171 @@ def q_pii_scrub(sf_dir: str):
     ).map_batches(pii_scrub_batch, batch_format="pyarrow")
 
 
+_BLD14 = ("apartments", "greenhouse", "garage", "garages", "carport",
+          "hut", "shed", "cabin", "roof", "church", "hangar",
+          "industrial", "chimney", "house")
+_PART7 = ("garage", "roof", "greenhouse", "carport", "shed", "church",
+          "industrial")
+
+
+def _building_defaults_sql() -> str:
+    bld14 = ", ".join(f"'{t}'" for t in _BLD14)
+    part7 = ", ".join(f"'{t}'" for t in _PART7)
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        [{bld14}][doc_id % 14 + 1] AS bld,
+        CASE WHEN doc_id % 5 = 0 THEN 'yes'
+             WHEN doc_id % 5 = 1 THEN [{part7}][doc_id % 7 + 1]
+             ELSE '' END AS part,
+        CASE WHEN doc_id % 11 = 0 THEN 'multi-storey' ELSE '' END AS parking,
+        CASE WHEN doc_id % 13 = 0 THEN 'chimney' ELSE '' END AS man_made,
+        CASE WHEN doc_id % 2 = 0 THEN 'flat' ELSE '' END AS rs_tag
+      FROM documents
+    ), t AS (
+      SELECT *, CASE WHEN part <> '' AND part <> 'yes' THEN part ELSE bld END
+                  AS typ
+      FROM p
+    ), base AS (
+      SELECT *,
+        CASE WHEN typ IN ('greenhouse','garage','garages','carport',
+                          'hut','shed','cabin','roof') THEN 1 ELSE 3 END AS lv0,
+        CASE WHEN typ = 'greenhouse' THEN 'GLASS_WALL'
+             WHEN typ IN ('garage','garages','carport') THEN 'CONCRETE'
+             WHEN typ = 'cabin' THEN 'WOOD_WALL'
+             ELSE 'BUILDING_DEFAULT' END AS wall0,
+        CASE WHEN typ = 'greenhouse' THEN 'GLASS_ROOF'
+             WHEN typ IN ('garage','garages','carport') THEN 'CONCRETE'
+             WHEN typ = 'cabin' THEN 'WOOD'
+             ELSE 'ROOF_DEFAULT' END AS roof0,
+        CASE WHEN typ IN ('greenhouse','garage','garages','carport','roof',
+                          'church','hangar','industrial') THEN 0 ELSE 1 END
+          AS win0,
+        CASE WHEN typ IN ('carport','roof') THEN 0 ELSE 1 END AS walls0
+      FROM t
+    ), prk AS (
+      SELECT *,
+        CASE WHEN parking = 'multi-storey' THEN 5 ELSE lv0 END AS lv1,
+        CASE WHEN parking = 'multi-storey' THEN 0 ELSE win0 END AS win1
+      FROM base
+    ), chm AS (
+      SELECT *,
+        (man_made = 'chimney' OR typ = 'chimney') AS isch
+      FROM prk
+    ), res AS (
+      SELECT doc_id, typ,
+        CASE WHEN isch THEN 1 ELSE lv1 END AS lv,
+        CASE WHEN isch THEN 100 ELSE 25 END AS hpl,
+        CASE WHEN isch THEN 'chimney' ELSE 'flat' END AS rshape,
+        CASE WHEN isch THEN 'BRICK' ELSE wall0 END AS wall,
+        CASE WHEN isch THEN 'BRICK' ELSE roof0 END AS roof,
+        CASE WHEN isch THEN 0 ELSE win1 END AS win,
+        walls0, rs_tag
+      FROM chm
+    )
+    SELECT doc_id, typ AS building_type, CAST(lv AS BIGINT) AS levels,
+           CAST(hpl AS BIGINT) AS height_per_level_du,
+           rshape AS roof_shape_def,
+           wall AS material_wall,
+           CASE WHEN rs_tag = 'flat' AND roof = 'ROOF_DEFAULT'
+                THEN 'CONCRETE' ELSE roof END AS material_roof,
+           CAST(win AS BIGINT) AS has_windows,
+           CAST(walls0 AS BIGINT) AS has_walls,
+           CAST(lv * hpl AS BIGINT) AS default_height_du
+    FROM res
+    """
+
+
+@register("building_defaults", _building_defaults_sql())
+def q_building_defaults(sf_dir: str):
+    """BuildingDefaults cascade (BuildingDefaults.java:30-128): the
+    building:part/building type resolution, the per-type switch over
+    levels/materials/windows/walls, the parking=multi-storey and
+    chimney overrides, and the flat-roof concrete upgrade — as one
+    vectorized tag-rule stage over synthetic tag combinations that
+    reach every branch. Heights are deci-unit ints (2.5 m -> 25)."""
+    from ..functions.buildings import building_defaults_batch
+
+    def synth_tags(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        bld = np.array(_BLD14, dtype=object)[doc % 14]
+        part = np.where(
+            doc % 5 == 0, "yes",
+            np.where(doc % 5 == 1,
+                     np.array(_PART7, dtype=object)[doc % 7], ""),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "building": pa.array(bld, type=pa.string()),
+                "building_part": pa.array(part.astype(object),
+                                          type=pa.string()),
+                "parking": pa.array(
+                    np.where(doc % 11 == 0, "multi-storey", "").astype(object),
+                    type=pa.string()),
+                "man_made": pa.array(
+                    np.where(doc % 13 == 0, "chimney", "").astype(object),
+                    type=pa.string()),
+                "roof_shape": pa.array(
+                    np.where(doc % 2 == 0, "flat", "").astype(object),
+                    type=pa.string()),
+            }
+        )
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    return ds.map_batches(synth_tags, batch_format="pyarrow").map_batches(
+        building_defaults_batch, batch_format="pyarrow"
+    )
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM toks
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(w2) AS n2,
+             count(DISTINCT CASE WHEN w2 IS NOT NULL
+                            THEN w || chr(1) || w2 END) AS d2,
+             count(w3) AS n3,
+             count(DISTINCT CASE WHEN w3 IS NOT NULL
+                            THEN w || chr(1) || w2 || chr(1) || w3 END) AS d3
+      FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n2 AS BIGINT) AS n_2grams,
+           CAST(n2 - d2 AS BIGINT) AS dup_2grams,
+           CAST(CASE WHEN n2 > 0 THEN 1000 * (n2 - d2) // n2 ELSE 0 END
+                AS BIGINT) AS dup_2gram_permille,
+           CAST(n3 AS BIGINT) AS n_3grams,
+           CAST(n3 - d3 AS BIGINT) AS dup_3grams,
+           CAST(CASE WHEN n3 > 0 THEN 1000 * (n3 - d3) // n3 ELSE 0 END
+                AS BIGINT) AS dup_3gram_permille
+    FROM agg
+    """,
+)
+def q_repetition_stats(sf_dir: str):
+    """Within-document repetition quality filter (Gopher §A1.2 /
+    C4-style): duplicate 2-/3-gram counts and permille ratios per doc.
+    Vectorized: Arrow C++ split + dictionary_encode for exact string
+    identity, then one lexsort + run-boundary scan over integer codes
+    per n — no Python token handling (stages/textstats.py)."""
+    from ..stages.textstats import repetition_stats_batch
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
 def _lang_id_sql() -> str:
     from ..stages.textstats import _LANG_STOPWORDS
 
@@ -6198,6 +6363,7 @@ _SAMPLE_PRIORITY = [
     "roof_shapes", "mm_jpeg_decode", "tileset_export_exclude", "export_gltf_gz",
     "mm_y4m_frames", "mm_audio_features",
     "stratified_sample", "event_percentiles", "pii_scrub",
+    "building_defaults", "repetition_stats",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",

@@ -396,3 +396,75 @@ def pii_scrub_batch(batch: pa.Table, *, text_col: str = "text2") -> pa.Table:
             "masked_md5": pa.array(md5s, type=pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition stats (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> per-doc n-gram repetition counts: the
+    duplicate-n-gram fraction family of quality filters (Rae et al.
+    2021 "Scaling Language Models" §A1.2 repetition filters; C4-style
+    heuristics). A document whose 2/3-grams are mostly repeats is
+    boilerplate or a crawler trap.
+
+    Vectorized end-to-end: tokens come from the Arrow C++ split
+    (single-space semantics — matches SQL ``string_split``), string
+    identity goes through ``dictionary_encode`` (C++ hash, exact, no
+    collisions), and per-doc distinct n-gram counts are one lexsort +
+    run-boundary scan over integer codes. No Python touches a token.
+
+    Outputs are integers: ``dup_k`` = occurrences beyond the first of
+    each distinct k-gram; permille ratios are integer-floored.
+    """
+    import pyarrow.compute as pc
+
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, ridx, counts = _split_tokens(texts)
+    codes_arr = pc.dictionary_encode(flat)
+    if isinstance(codes_arr, pa.ChunkedArray):
+        codes_arr = codes_arr.combine_chunks()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(batch)
+
+    def dup_counts(k: int) -> tuple[np.ndarray, np.ndarray]:
+        """(n_kgrams, dup_kgrams) per row."""
+        n_k = np.maximum(counts - (k - 1), 0)
+        if len(codes) < k:
+            return n_k, np.zeros(n, dtype=np.int64)
+        same = np.ones(len(codes) - (k - 1), dtype=bool)
+        for j in range(1, k):
+            same &= ridx[j:len(codes) - (k - 1) + j] == ridx[:len(codes) - (k - 1)]
+        d = ridx[: len(codes) - (k - 1)][same]
+        cols = [codes[j: len(codes) - (k - 1) + j][same] for j in range(k)]
+        order = np.lexsort(tuple(reversed(cols)) + (d,))
+        d = d[order]
+        cols = [c[order] for c in cols]
+        new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            boundary = d[1:] != d[:-1]
+            for c in cols:
+                boundary |= c[1:] != c[:-1]
+            new[1:] = boundary
+        distinct = np.bincount(d[new], minlength=n)
+        return n_k, n_k - distinct
+
+    n2, dup2 = dup_counts(2)
+    n3, dup3 = dup_counts(3)
+    pm2 = np.where(n2 > 0, 1000 * dup2 // np.maximum(n2, 1), 0)
+    pm3 = np.where(n3 > 0, 1000 * dup3 // np.maximum(n3, 1), 0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(counts),
+            "n_2grams": pa.array(n2),
+            "dup_2grams": pa.array(dup2),
+            "dup_2gram_permille": pa.array(pm2.astype(np.int64)),
+            "n_3grams": pa.array(n3),
+            "dup_3grams": pa.array(dup3),
+            "dup_3gram_permille": pa.array(pm3.astype(np.int64)),
+        }
+    )
