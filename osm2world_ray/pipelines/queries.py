@@ -1611,6 +1611,162 @@ def q_building_defaults(sf_dir: str):
 
 
 @register(
+    "building_levels",
+    """
+    WITH p AS (
+      SELECT doc_id,
+        ['house','garage','roof'][(doc_id // 10) % 3 + 1] AS btype,
+        CASE WHEN doc_id % 10 = 9 THEN 'dome'
+             WHEN doc_id % 2 = 0 THEN 'flat' ELSE 'gabled' END AS shape,
+        CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 7 AS DOUBLE)
+             WHEN doc_id % 4 = 1 THEN (1 + doc_id % 6) + 0.5
+             ELSE NULL END AS parsed,
+        (doc_id % 4 = 1) AS frac_levels,
+        CASE WHEN doc_id % 28 = 4
+             THEN 1 + (doc_id // 28) % 2 ELSE 0 END AS minlev,
+        CASE WHEN doc_id % 8 = 0 THEN 1 + doc_id % 2 ELSE 0 END AS ug,
+        CASE WHEN doc_id % 3 = 0
+             THEN (500 + 31*(doc_id % 9)) / 100.0 ELSE NULL END AS th,
+        CASE WHEN doc_id % 5 = 0
+             THEN (100 + 23*(doc_id % 4)) / 100.0 ELSE NULL END AS trh,
+        CASE WHEN doc_id % 6 = 0 THEN doc_id % 3 ELSE NULL END AS rl_tag,
+        CASE WHEN doc_id % 9 = 0
+             THEN (10*(doc_id % 5)) / 100.0 ELSE NULL END AS mh_t,
+        10 + 0.37*(doc_id % 7) AS len, 4 + 0.23*(doc_id % 5) AS wid
+      FROM documents
+    ), d AS (
+      SELECT *,
+        CASE btype WHEN 'house' THEN 3 ELSE 1 END AS def_lv,
+        CASE btype WHEN 'roof' THEN 0 ELSE 1 END AS has_walls,
+        CASE WHEN minlev > 0 THEN minlev
+             ELSE least(minlev, -ug) END AS minlwu0,
+        coalesce(th, 0) - coalesce(trh, 0) AS thw
+      FROM p
+    ), lv AS (
+      SELECT *,
+        CASE WHEN parsed IS NOT NULL THEN
+               CAST(CASE WHEN frac_levels THEN greatest(0, ceil(parsed))
+                         ELSE greatest(0, parsed) END AS BIGINT)
+             WHEN th IS NOT NULL AND trh IS NOT NULL AND th <= trh THEN 0
+             WHEN trh IS NOT NULL AND thw > 0
+               THEN greatest(minlwu0 + 1,
+                             greatest(1, CAST(floor(thw / 2.5) AS BIGINT)))
+             WHEN minlwu0 > 0 THEN minlwu0 + 1
+             ELSE def_lv END AS levels
+      FROM d
+    ), r1 AS (
+      SELECT *, coalesce(rl_tag, 1) AS rl0,
+        CASE WHEN shape = 'flat' THEN 0.0
+             WHEN trh IS NOT NULL THEN trh
+             WHEN levels = 0 AND coalesce(th, 0) > 0 THEN th
+             WHEN rl_tag IS NOT NULL THEN 2.5 * rl_tag
+             WHEN shape = 'dome' THEN sqrt(len*len + wid*wid) / 2
+             WHEN levels = 1 THEN 1.0
+             ELSE 5.0 END AS rh
+      FROM lv
+    ), r2 AS (
+      SELECT *, CASE WHEN rh = 0 THEN 0 ELSE rl0 END AS rl FROM r1
+    ), c AS (
+      SELECT *, CASE WHEN levels + rl < minlwu0 + 1 THEN levels + rl - 1
+                     ELSE minlwu0 END AS minlwu
+      FROM r2
+    ), h AS (
+      SELECT *, greatest(CASE WHEN th IS NOT NULL THEN th
+                              ELSE levels * 2.5 + rh END, 0.01) AS height
+      FROM c
+    ), h2 AS (
+      SELECT *, floor((height - rh) * 1e4 + 0.5) / 1e4 AS hwr FROM h
+    ), mh AS (
+      SELECT *,
+        CASE WHEN mh_t IS NOT NULL THEN mh_t
+             WHEN minlev > 0 THEN (hwr / greatest(levels, 1)) * minlev
+             WHEN has_walls = 0 THEN hwr - 0.3
+             ELSE 0.0 END AS minh0
+      FROM h2
+    ), f AS (
+      SELECT *, CASE WHEN minh0 > hwr THEN hwr - 0.1 ELSE minh0 END AS minh,
+             levels + rl - minlwu AS total
+      FROM mh
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN total = 0 THEN 0 ELSE levels END AS BIGINT) AS levels,
+      CAST(CASE WHEN total = 0 THEN 0 ELSE rl END AS BIGINT) AS roof_levels,
+      CAST(CASE WHEN total = 0 THEN 0 ELSE minlwu END AS BIGINT) AS min_lwu,
+      CAST(CASE WHEN total = 0 THEN 0 ELSE total END AS BIGINT)
+        AS total_levels,
+      CAST(CASE WHEN total = 0 THEN 0
+                ELSE floor(rh * 1e6 + 0.5) END AS BIGINT) AS roof_h_u,
+      CAST(CASE WHEN total = 0 THEN 0
+                ELSE floor(height * 1e6 + 0.5) END AS BIGINT) AS height_u,
+      CAST(CASE WHEN total = 0 THEN 0
+                ELSE floor(hwr * 1e6 + 0.5) END AS BIGINT) AS hwr_u,
+      CAST(CASE WHEN total = 0 THEN 0
+                ELSE floor(minh * 1e6 + 0.5) END AS BIGINT) AS min_height_u,
+      CAST(CASE WHEN total = 0 THEN 1 ELSE 0 END AS BIGINT) AS error
+    FROM f
+    """,
+)
+def q_building_levels(sf_dir: str):
+    """Simple-3D-Buildings level/height cascade
+    (LevelAndHeightData.java:114-223): building:levels parsing with the
+    warn+ceil decimal path, height-derived level counts, min-level and
+    underground-level interactions, the 7-step roof-height resolution
+    order (flat / roof-only / roof:levels / dome diameter / single-level
+    / default ridge), the min-level clamp, the 1e-4 height rounding and
+    the min_height cascade with its above-walls clamp. Synthetic tag
+    combinations reach every branch incl. the zero-total-levels error
+    path (Java throws; here it's an error row). All tag values are
+    exact-decimal strings so float parsing round-trips bit-identically
+    on both sides."""
+    from ..functions.buildings import building_levels_batch
+
+    def synth_tags(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        types = np.array(["house", "garage", "roof"], dtype=object)
+        dl = doc.tolist()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "btype": pa.array(types[(doc // 10) % 3], type=pa.string()),
+                "shape": pa.array(
+                    np.where(doc % 10 == 9, "dome",
+                             np.where(doc % 2 == 0, "flat",
+                                      "gabled")).astype(object),
+                    type=pa.string()),
+                "levels_tag": pa.array(
+                    [str(d % 7) if d % 4 == 0
+                     else f"{1 + d % 6}.5" if d % 4 == 1 else ""
+                     for d in dl], type=pa.string()),
+                "min_level_tag": pa.array(
+                    [str(1 + (d // 28) % 2) if d % 28 == 4 else ""
+                     for d in dl], type=pa.string()),
+                "underground_tag": pa.array(
+                    [str(1 + d % 2) if d % 8 == 0 else "" for d in dl],
+                    type=pa.string()),
+                "height_tag": pa.array(
+                    [str((500 + 31 * (d % 9)) / 100) if d % 3 == 0 else ""
+                     for d in dl], type=pa.string()),
+                "roof_height_tag": pa.array(
+                    [str((100 + 23 * (d % 4)) / 100) if d % 5 == 0 else ""
+                     for d in dl], type=pa.string()),
+                "roof_levels_tag": pa.array(
+                    [str(d % 3) if d % 6 == 0 else "" for d in dl],
+                    type=pa.string()),
+                "min_height_tag": pa.array(
+                    [str((10 * (d % 5)) / 100) if d % 9 == 0 else ""
+                     for d in dl], type=pa.string()),
+                "length": pa.array(10 + 0.37 * (doc % 7)),
+                "width": pa.array(4 + 0.23 * (doc % 5)),
+            }
+        )
+
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id"])
+    return ds.map_batches(synth_tags, batch_format="pyarrow").map_batches(
+        building_levels_batch, batch_format="pyarrow"
+    )
+
+
+@register(
     "repetition_stats",
     """
     WITH toks AS (
@@ -6363,7 +6519,7 @@ _SAMPLE_PRIORITY = [
     "roof_shapes", "mm_jpeg_decode", "tileset_export_exclude", "export_gltf_gz",
     "mm_y4m_frames", "mm_audio_features",
     "stratified_sample", "event_percentiles", "pii_scrub",
-    "building_defaults", "repetition_stats",
+    "building_defaults", "repetition_stats", "building_levels",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",
