@@ -37,6 +37,13 @@ from ..geo.segments import segment_intersection
 from ..sources import synth
 from .overlaps import bucket_groups, _candidate_pairs, _sweep_pair_chunks, bucket_of
 
+#: candidate pairs classified per chunk of this size: bounds the ring
+#: padding matrices (~chunk x 8 verts x 4 arrays x 8 B = 256 MB) and
+#: the pair-index/mask intermediates regardless of bucket density —
+#: the sf0.1x16 replicated audit OOMed a worker (10 GB anon) when the
+#: whole 256x-grown pair space was classified at once
+_PAIR_CHUNK = 1 << 20
+
 #: docs carrying an edge-sharing twin / corner-touching twin of mention 0
 EDGE_TWIN_MOD = 41
 CORNER_TWIN_MOD = 43
@@ -363,61 +370,79 @@ def pairwise_aa_typed(group) -> pa.Table:
     cell_ix = col_np(group, "cell_ix", np.int64)[order]
     cell_iy = col_np(group, "cell_iy", np.int64)[order]
     scale_row = np.ldexp(1.0, (cell >> 58).astype(np.int64))
-    ii, jj, large = _candidate_pairs(cell)
-    chunks_i, chunks_j = [ii], [jj]
+
+    def classify_chunk(ii: np.ndarray, jj: np.ndarray):
+        """Candidate pair chunk -> (out_a, out_b, code) survivors.
+        Bounded intermediates: callers cap len(ii), so the ring
+        padding matrices and boolean masks stay ~_PAIR_CHUNK-sized no
+        matter how dense the bucket is (the sf0.1x16 replicated audit
+        OOM-killed a reduce worker at 10 GB when this section ran over
+        the partition's ENTIRE 256x-grown pair space at once)."""
+        # candidate filter: touching-or-overlapping bboxes, distinct areas
+        cand = (
+            (minx[ii] <= maxx[jj]) & (minx[jj] <= maxx[ii])
+            & (miny[ii] <= maxy[jj]) & (miny[jj] <= maxy[ii])
+            & (akey[ii] != akey[jj])
+        )
+        ii, jj = ii[cand], jj[cand]
+        # min-corner ownership over the (possibly degenerate) intersection
+        ox = np.maximum(minx[ii], minx[jj])
+        oy = np.maximum(miny[ii], miny[jj])
+        own = (
+            (np.floor((ox + 180.0) * scale_row[ii]).astype(np.int64)
+             == cell_ix[ii])
+            & (np.floor((oy + 90.0) * scale_row[ii]).astype(np.int64)
+               == cell_iy[ii])
+        )
+        ii, jj = ii[own], jj[own]
+        swap = akey[ii] > akey[jj]
+        ii, jj = np.where(swap, jj, ii), np.where(swap, ii, jj)
+        # axis-aligned rect pairs take the interval fast path; any pair
+        # involving a rotated/concave outline goes through the general
+        # padded-ring kernel (identical classification on rects — tested)
+        code = np.zeros(len(ii), dtype=np.int64)
+        rect_pair = (cls[ii] == 0) & (cls[jj] == 0)
+        r = np.flatnonzero(rect_pair)
+        if len(r):
+            code[r] = _classify(
+                minx[ii[r]], maxx[ii[r]], miny[ii[r]], maxy[ii[r]],
+                minx[jj[r]], maxx[jj[r]], miny[jj[r]], maxy[jj[r]],
+            )
+        gidx = np.flatnonzero(~rect_pair)
+        if len(gidx):
+            ia, ib = ii[gidx], jj[gidx]
+            AX, AY, ANV = _ring_arrays(
+                cls[ia], minx[ia], maxx[ia], miny[ia], maxy[ia]
+            )
+            BX, BY, BNV = _ring_arrays(
+                cls[ib], minx[ib], maxx[ib], miny[ib], maxy[ib]
+            )
+            code[gidx] = classify_ring_pairs(AX, AY, ANV, BX, BY, BNV)
+        keep = code > 0
+        ii, jj, code = ii[keep], jj[keep], code[keep]
+        # orient CONTAIN pairs contained-first (MapOverlapAA(inner, outer))
+        inner_first = code == 3
+        out_a = np.where(inner_first, akey[jj], akey[ii])
+        out_b = np.where(inner_first, akey[ii], akey[jj])
+        return out_a, out_b, code
+
+    outs = []
+    ii0, jj0, large = _candidate_pairs(cell)
+    for s in range(0, len(ii0), _PAIR_CHUNK):
+        outs.append(classify_chunk(ii0[s:s + _PAIR_CHUNK],
+                                    jj0[s:s + _PAIR_CHUNK]))
+    del ii0, jj0
     for s, e in large:
         for I, J in _sweep_pair_chunks(minx, maxx, s, e):
-            chunks_i.append(I)
-            chunks_j.append(J)
-    if len(chunks_i) > 1:
-        ii = np.concatenate(chunks_i)
-        jj = np.concatenate(chunks_j)
-    if len(ii) == 0:
+            for t in range(0, len(I), _PAIR_CHUNK):
+                outs.append(classify_chunk(I[t:t + _PAIR_CHUNK],
+                                            J[t:t + _PAIR_CHUNK]))
+    outs = [o for o in outs if len(o[0])]
+    if not outs:
         return empty
-    # candidate filter: touching-or-overlapping bboxes, distinct areas
-    cand = (
-        (minx[ii] <= maxx[jj]) & (minx[jj] <= maxx[ii])
-        & (miny[ii] <= maxy[jj]) & (miny[jj] <= maxy[ii])
-        & (akey[ii] != akey[jj])
-    )
-    ii, jj = ii[cand], jj[cand]
-    # min-corner ownership over the (possibly degenerate) intersection
-    ox = np.maximum(minx[ii], minx[jj])
-    oy = np.maximum(miny[ii], miny[jj])
-    own = (
-        (np.floor((ox + 180.0) * scale_row[ii]).astype(np.int64) == cell_ix[ii])
-        & (np.floor((oy + 90.0) * scale_row[ii]).astype(np.int64) == cell_iy[ii])
-    )
-    ii, jj = ii[own], jj[own]
-    swap = akey[ii] > akey[jj]
-    ii, jj = np.where(swap, jj, ii), np.where(swap, ii, jj)
-    # axis-aligned rect pairs take the interval fast path; any pair
-    # involving a rotated/concave outline goes through the general
-    # padded-ring kernel (identical classification on rects — tested)
-    code = np.zeros(len(ii), dtype=np.int64)
-    rect_pair = (cls[ii] == 0) & (cls[jj] == 0)
-    r = np.flatnonzero(rect_pair)
-    if len(r):
-        code[r] = _classify(
-            minx[ii[r]], maxx[ii[r]], miny[ii[r]], maxy[ii[r]],
-            minx[jj[r]], maxx[jj[r]], miny[jj[r]], maxy[jj[r]],
-        )
-    gidx = np.flatnonzero(~rect_pair)
-    if len(gidx):
-        ia, ib = ii[gidx], jj[gidx]
-        AX, AY, ANV = _ring_arrays(
-            cls[ia], minx[ia], maxx[ia], miny[ia], maxy[ia]
-        )
-        BX, BY, BNV = _ring_arrays(
-            cls[ib], minx[ib], maxx[ib], miny[ib], maxy[ib]
-        )
-        code[gidx] = classify_ring_pairs(AX, AY, ANV, BX, BY, BNV)
-    keep = code > 0
-    ii, jj, code = ii[keep], jj[keep], code[keep]
-    # orient CONTAIN pairs contained-first (MapOverlapAA(inner, outer))
-    inner_first = code == 3
-    out_a = np.where(inner_first, akey[jj], akey[ii])
-    out_b = np.where(inner_first, akey[ii], akey[jj])
+    out_a = np.concatenate([o[0] for o in outs])
+    out_b = np.concatenate([o[1] for o in outs])
+    code = np.concatenate([o[2] for o in outs])
     names = np.array(["", "SHARE_SEGMENT", "CONTAIN", "CONTAIN", "INTERSECT"])
     return pa.table(
         {
