@@ -430,10 +430,19 @@ def run_replicated(sf_dir: str, num_cpus: int) -> dict:
         rows[name] = _consume(qs[name](sf_dir, repeat=reps))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    from ray._private.internal_api import memory_summary
-
-    mem = memory_summary(stats_only=True)
-    spilled = "Spilled" in mem
+    # ray._private.internal_api.memory_summary needs the grpc module,
+    # absent in this container — the raylet logs every spill batch to
+    # raylet.err, so grep the live session's log instead
+    spilled = False
+    try:
+        log = os.path.join(
+            ray._private.worker._global_node.get_session_dir_path(),
+            "logs", "raylet.err",
+        )
+        with open(log) as f:
+            spilled = "Spilled" in f.read()
+    except Exception:
+        pass
     docs = _doc_count(sf_dir) * reps
     total = round(sum(timings.values()), 3)
     out = {
