@@ -1767,6 +1767,38 @@ def q_building_levels(sf_dir: str):
 
 
 @register(
+    "vocab_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY token
+    """,
+)
+def q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary statistics (document frequency + collection
+    frequency per token) — the inverted-index build shape over an
+    UNBOUNDED key space: per-batch vectorized partials (dictionary
+    encode + bincount, exact df since a document is one row) -> one
+    bounded-bucket discrete-key exchange on the token's head hash ->
+    per-token C++ group_by totals. The 100 TB path for term statistics:
+    only O(per-batch vocab) partial rows cross the wire, never token
+    occurrences."""
+    from ..stages import overlaps
+    from ..stages.textstats import vocab_partials, vocab_rollup_group
+
+    nb = overlaps.n_shuffle_buckets()
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        vocab_partials, batch_format="pyarrow", fn_kwargs={"n_buckets": nb}
+    )
+    return overlaps.bucket_groups(ds, vocab_rollup_group)
+
+
+@register(
     "repetition_stats",
     """
     WITH toks AS (
@@ -6519,7 +6551,7 @@ _SAMPLE_PRIORITY = [
     "roof_shapes", "mm_jpeg_decode", "tileset_export_exclude", "export_gltf_gz",
     "mm_y4m_frames", "mm_audio_features",
     "stratified_sample", "event_percentiles", "pii_scrub",
-    "building_defaults", "repetition_stats", "building_levels",
+    "building_defaults", "repetition_stats", "building_levels", "vocab_stats",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",

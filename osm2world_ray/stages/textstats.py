@@ -468,3 +468,59 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
             "dup_3gram_permille": pa.array(pm3.astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics (inverted-index rollup, unbounded keys)
+# ---------------------------------------------------------------------------
+
+def vocab_partials(batch: pa.Table, *, n_buckets: int) -> pa.Table:
+    """(doc_id, text) batch -> partial (token, df, tf, bucket) rows:
+    the map side of an inverted-index/document-frequency build over an
+    UNBOUNDED key space (the vocabulary). Fully vectorized: Arrow C++
+    split + dictionary_encode collapse the batch to its per-batch
+    vocabulary, numpy bincounts produce tf and per-(token, doc)
+    deduped df. Because a document is ONE row, (token, doc) pairs
+    never straddle batches, so summing partial dfs is exact. Tokens
+    are bucketed by their polynomial head hash with the DRIVER-resolved
+    count (fn_kwargs) — partial rows per bucket are O(vocab_in_bucket x
+    map_tasks) regardless of corpus size."""
+    import pyarrow.compute as pc
+
+    from ..functions.polyhash import head_hash
+    from .overlaps import bucket_of
+
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, ridx, _ = _split_tokens(texts)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    tf = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+    key = (codes << np.int64(32)) | ridx  # ridx < 2^32 per batch
+    uniq = np.unique(key)
+    df = np.bincount(uniq >> np.int64(32),
+                     minlength=len(vocab)).astype(np.int64)
+    return pa.table(
+        {
+            "token": vocab,
+            "df": pa.array(df),
+            "tf": pa.array(tf),
+            "bucket": pa.array(bucket_of(head_hash(vocab), n_buckets)),
+        }
+    )
+
+
+def vocab_rollup_group(group) -> pa.Table:
+    """Bucket of partial vocab rows -> (token, df, tf) totals (pyarrow
+    C++ group_by; tolerant of multi-token groups and singletons)."""
+    t = group if isinstance(group, pa.Table) else pa.Table.from_pandas(
+        group, preserve_index=False
+    )
+    agg = t.select(["token", "df", "tf"]).group_by(["token"]).aggregate(
+        [("df", "sum"), ("tf", "sum")]
+    )
+    return agg.rename_columns(["token", "df", "tf"])

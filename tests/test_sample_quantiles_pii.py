@@ -104,3 +104,23 @@ def test_pii_scrub_existing_pii_in_text():
     })
     out = pii_scrub_batch(pii_augment_batch(batch)).to_pandas()
     assert out.loc[0, "n_emails"] == 2
+
+
+def test_vocab_partials_df_tf_and_batch_invariance():
+    from osm2world_ray.stages.textstats import vocab_partials, vocab_rollup_group
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b a", "a c", "b b b"]),
+    })
+    whole = vocab_rollup_group(vocab_partials(batch, n_buckets=8)).to_pandas()
+    whole = whole.sort_values("token", ignore_index=True)
+    assert list(whole["token"]) == ["a", "b", "c"]
+    assert list(whole["df"]) == [2, 2, 1]
+    assert list(whole["tf"]) == [3, 4, 1]
+    # partials summed across any batch split give the same totals
+    parts = pa.concat_tables([
+        vocab_partials(batch.slice(i, 1), n_buckets=8) for i in range(3)
+    ])
+    split = vocab_rollup_group(parts).to_pandas().sort_values(
+        "token", ignore_index=True)
+    assert split.equals(whole)
