@@ -1767,6 +1767,51 @@ def q_building_levels(sf_dir: str):
 
 
 @register(
+    "read_warc",
+    """
+    SELECT doc_id, text FROM documents
+    """,
+)
+def q_read_warc(sf_dir: str):
+    """WARC/1.0 web-archive source (sources/warc.py): pages packed
+    into valid WARC bytes (warcinfo + HTTP-response records), then a
+    REAL record parser (version line, Content-Length framing, HTTP
+    head/body split, non-response records skipped) feeds the standard
+    text extractor. The oracle is the byte-identity invariant: text
+    re-extracted from WARC-wrapped HTML must equal the ground-truth
+    documents.text column exactly. Reference analogue for
+    container-format ingestion: OSMFileReader/OSMStreamReader."""
+    import pyarrow.compute as pc
+
+    from ..sources import synth
+    from ..sources.warc import pack_warc_batch, warc_records_batch
+    from ..stages.extract import extract_text
+
+    ds = datasets.pages_ds(sf_dir)
+    ds = ds.map_batches(pack_warc_batch, batch_format="pyarrow")
+    ds = ds.map_batches(warc_records_batch, batch_format="pyarrow")
+
+    def add_lang(b: pa.Table) -> pa.Table:
+        # WARC records carry no language; the extractor passes the
+        # column through, so feed the unknown-language placeholder
+        return b.append_column("lang", pa.nulls(len(b), pa.string()))
+
+    ds = extract_text(ds.map_batches(add_lang, batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        url = b["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        doc_id = pc.cast(
+            pc.utf8_slice_codeunits(url, len(synth.URL_PREFIX), 99),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": doc_id, "text": b["text"]})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
     "vocab_stats",
     """
     WITH toks AS (
@@ -6552,6 +6597,7 @@ _SAMPLE_PRIORITY = [
     "mm_y4m_frames", "mm_audio_features",
     "stratified_sample", "event_percentiles", "pii_scrub",
     "building_defaults", "repetition_stats", "building_levels", "vocab_stats",
+    "read_warc",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",
