@@ -1811,6 +1811,41 @@ def q_read_warc(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def _dup_passages_sql() -> str:
+    from ..functions import polyhash as ph
+
+    return f"""
+    WITH {ph.SQL_BP_CTE},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({ph.SQL_SHINGLES}) AS s FROM toks),
+    hashes AS (SELECT DISTINCT doc_id, {ph.sql_hash('s')} AS h FROM sh, bp)
+    SELECT h AS shingle_hash, CAST(count(*) AS BIGINT) AS n_docs
+    FROM hashes GROUP BY h HAVING count(*) >= 2
+    """
+
+
+@register("dup_passages", _dup_passages_sql())
+def q_dup_passages(sf_dir: str):
+    """Corpus-wide duplicate-passage inventory (the substring-level
+    dedup shape of Lee et al. 2022 "Deduplicating Training Data ...",
+    at trigram-shingle granularity): which passages appear in MORE THAN
+    ONE document, and in how many. Per-doc distinct shingle hashes
+    (vectorized polyhash family) -> per-batch np.unique partials ->
+    one bounded-bucket discrete-key exchange on the hash -> per-hash
+    totals filtered to n_docs >= 2. Unique passages (the overwhelming
+    majority at scale) never leave the reduce task; the output is the
+    dedup-candidate passage list a removal pass would consume."""
+    from ..stages import overlaps
+    from ..stages.dedup import passage_partials, passage_rollup_group
+
+    nb = overlaps.n_shuffle_buckets()
+    ds = datasets.documents_ds(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        passage_partials, batch_format="pyarrow", fn_kwargs={"n_buckets": nb}
+    )
+    return overlaps.bucket_groups(ds, passage_rollup_group)
+
+
 @register(
     "vocab_stats",
     """
@@ -6597,7 +6632,7 @@ _SAMPLE_PRIORITY = [
     "mm_y4m_frames", "mm_audio_features",
     "stratified_sample", "event_percentiles", "pii_scrub",
     "building_defaults", "repetition_stats", "building_levels", "vocab_stats",
-    "read_warc",
+    "read_warc", "dup_passages",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",

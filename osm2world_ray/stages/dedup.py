@@ -600,3 +600,53 @@ def shingle_hashes_batch(batch: pa.Table) -> pa.Table:
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
     return _SIMHASH_STAGE(batch)
+
+
+def passage_partials(batch: pa.Table, *, n_buckets: int) -> pa.Table:
+    """documents batch -> partial (h, n_docs, bucket) rows for the
+    corpus-wide duplicate-passage inventory: per-doc DISTINCT trigram
+    shingle hashes (ShingleHashes — a document is one row, so (doc, h)
+    pairs never straddle batches and partial doc-counts sum exactly),
+    pre-aggregated per batch with one bincount over the dictionary-free
+    int64 hash domain via np.unique."""
+    import numpy as np
+
+    from .overlaps import bucket_of
+
+    t = shingle_hashes_batch(batch)
+    sh = t["sh"]
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    flat = sh.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "h": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+            }
+        )
+    hu, counts = np.unique(flat, return_counts=True)
+    return pa.table(
+        {
+            "h": pa.array(hu),
+            "n_docs": pa.array(counts.astype(np.int64)),
+            "bucket": pa.array(bucket_of(hu, n_buckets)),
+        }
+    )
+
+
+def passage_rollup_group(group) -> pa.Table:
+    """Bucket of partial passage rows -> (shingle_hash, n_docs) totals
+    restricted to shingles shared by >= 2 documents (the duplicate
+    inventory; unique passages never leave the reduce task)."""
+    import pyarrow.compute as pc
+
+    t = group if isinstance(group, pa.Table) else pa.Table.from_pandas(
+        group, preserve_index=False
+    )
+    agg = t.select(["h", "n_docs"]).group_by(["h"]).aggregate(
+        [("n_docs", "sum")]
+    )
+    agg = agg.rename_columns(["shingle_hash", "n_docs"])
+    return agg.filter(pc.greater_equal(agg["n_docs"], pa.scalar(2)))

@@ -124,3 +124,29 @@ def test_vocab_partials_df_tf_and_batch_invariance():
     split = vocab_rollup_group(parts).to_pandas().sort_values(
         "token", ignore_index=True)
     assert split.equals(whole)
+
+
+def test_passage_partials_batch_invariance():
+    from osm2world_ray.stages.dedup import (
+        passage_partials,
+        passage_rollup_group,
+    )
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat today",
+            "yes the cat sat on a rug",
+            "entirely different words here now",
+        ]),
+    })
+    whole = passage_rollup_group(
+        passage_partials(batch, n_buckets=8)
+    ).to_pandas().sort_values("shingle_hash", ignore_index=True)
+    # "the cat sat" / "cat sat on" appear in docs 0 and 1
+    assert len(whole) >= 2 and (whole["n_docs"] == 2).all()
+    parts = pa.concat_tables([
+        passage_partials(batch.slice(i, 1), n_buckets=8) for i in range(3)
+    ])
+    split = passage_rollup_group(parts).to_pandas().sort_values(
+        "shingle_hash", ignore_index=True)
+    assert split.equals(whole)
