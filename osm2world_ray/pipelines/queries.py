@@ -1811,6 +1811,46 @@ def q_read_warc(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+@register(
+    "read_warc_gz",
+    """
+    SELECT doc_id, text FROM documents
+    """,
+)
+def q_read_warc_gz(sf_dir: str):
+    """.warc.gz variant of :func:`q_read_warc` — REAL multi-member
+    gzip framing (each record its own member, the ISO 28500 layout
+    that allows per-record random access; deterministic mtime=0
+    bytes). Same byte-identity oracle: text re-extracted through the
+    gzip + WARC + HTML round trip equals documents.text exactly."""
+    import pyarrow.compute as pc
+
+    from ..sources import synth
+    from ..sources.warc import pack_warc_gz_batch, warc_gz_records_batch
+    from ..stages.extract import extract_text
+
+    ds = datasets.pages_ds(sf_dir)
+    ds = ds.map_batches(pack_warc_gz_batch, batch_format="pyarrow")
+    ds = ds.map_batches(warc_gz_records_batch, batch_format="pyarrow")
+
+    def add_lang(b: pa.Table) -> pa.Table:
+        return b.append_column("lang", pa.nulls(len(b), pa.string()))
+
+    ds = extract_text(ds.map_batches(add_lang, batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        url = b["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        doc_id = pc.cast(
+            pc.utf8_slice_codeunits(url, len(synth.URL_PREFIX), 99),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": doc_id, "text": b["text"]})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 def _dup_passages_sql() -> str:
     from ..functions import polyhash as ph
 
@@ -6632,7 +6672,7 @@ _SAMPLE_PRIORITY = [
     "mm_y4m_frames", "mm_audio_features",
     "stratified_sample", "event_percentiles", "pii_scrub",
     "building_defaults", "repetition_stats", "building_levels", "vocab_stats",
-    "read_warc", "dup_passages",
+    "read_warc", "dup_passages", "read_warc_gz",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",

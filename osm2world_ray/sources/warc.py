@@ -132,3 +132,79 @@ def warc_records_batch(batch: pa.Table) -> pa.Table:
             "error": pa.array(np.asarray(errs, dtype=np.int64)),
         }
     )
+
+
+def pack_warc_gz_batch(batch: pa.Table) -> pa.Table:
+    """pages batch -> (warc: binary) with REAL .warc.gz framing: each
+    record is its own gzip MEMBER and the members are concatenated —
+    the standard layout (ISO 28500 annex; it lets a reader seek to a
+    record and decompress just that member). Deterministic bytes:
+    mtime=0, no filename field."""
+    import gzip
+    import io
+
+    raw = pack_warc_batch(batch)["warc"][0].as_py()
+    # split the uncompressed stream back into records (each ends with
+    # the \r\n\r\n terminator after its Content-Length block) by
+    # re-parsing the framing, then gzip each record separately
+    out = []
+    pos = 0
+    while pos < len(raw):
+        start = pos
+        eol = raw.index(_CRLF, pos)
+        pos = eol + 2
+        length = None
+        while True:
+            eol = raw.index(_CRLF, pos)
+            line = raw[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                length = int(v)
+        pos += length + 4
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(raw[start:pos])
+        out.append(buf.getvalue())
+    return pa.table({"warc": pa.array([b"".join(out)], type=pa.binary())})
+
+
+def parse_warc_gz(data: bytes) -> list[tuple[str, bytes]]:
+    """Multi-member .warc.gz bytes -> response records. The stdlib
+    GzipFile transparently concatenates members, and record framing is
+    self-delimiting, so decompress-then-parse is exact."""
+    import gzip
+    import io
+
+    if data[:2] != b"\x1f\x8b":
+        raise ValueError("not gzip data")
+    return parse_warc(gzip.GzipFile(fileobj=io.BytesIO(data)).read())
+
+
+def warc_gz_records_batch(batch: pa.Table) -> pa.Table:
+    """(warc: binary, gzipped) batch -> (url, html, error) record rows."""
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    errs: list[int] = []
+    col = batch["warc"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for i in range(len(batch)):
+        try:
+            for url, body in parse_warc_gz(col[i].as_py()):
+                urls.append(url)
+                htmls.append(body)
+                errs.append(0)
+        except Exception:  # ValueError / OSError / KeyError
+            urls.append("")
+            htmls.append(b"")
+            errs.append(1)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array(htmls, type=pa.binary()),
+            "error": pa.array(np.asarray(errs, dtype=np.int64)),
+        }
+    )

@@ -58,3 +58,26 @@ def test_warc_records_batch_flattens():
     batch = pa.concat_tables([b1, b2])
     out = warc_records_batch(batch).to_pandas()
     assert len(out) == 5 and (out["error"] == 0).all()
+
+
+def test_warc_gz_multimember_roundtrip():
+    from osm2world_ray.sources.warc import (
+        pack_warc_gz_batch,
+        parse_warc_gz,
+    )
+    pages = _pages(4)
+    gz = pack_warc_gz_batch(pages)["warc"][0].as_py()
+    # one gzip member per record: warcinfo + 4 responses
+    assert gz.count(b"\x1f\x8b\x08") == 5
+    recs = parse_warc_gz(gz)
+    assert recs == parse_warc(pack_warc_batch(pages)["warc"][0].as_py())
+    # deterministic bytes (mtime=0)
+    assert gz == pack_warc_gz_batch(pages)["warc"][0].as_py()
+
+
+def test_warc_gz_malformed():
+    from osm2world_ray.sources.warc import warc_gz_records_batch
+    batch = pa.table({"warc": pa.array([b"plainly not gzip"],
+                                       type=pa.binary())})
+    out = warc_gz_records_batch(batch).to_pandas()
+    assert len(out) == 1 and out.loc[0, "error"] == 1
