@@ -1851,6 +1851,144 @@ def q_read_warc_gz(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+@register(
+    "lineitem_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_qty,
+      CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_base_price_c,
+      CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
+      CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_charge_u,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1 shape: scan-filter + bounded-key pricing rollup over
+    lineitem (stages/relational.py). Per-batch pyarrow C++ group_by
+    partials over the 6-key (returnflag, linestatus) space -> single
+    tiny combine; money per-row snapped to fixed decimal units before
+    summing (float sums are reduction-order-dependent, integer sums
+    are not)."""
+    import ray.data as rd
+
+    from ..stages.relational import pricing_combine, pricing_partials
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    ds = ds.map_batches(pricing_partials, batch_format="pyarrow")
+    return ds.repartition(1).map_batches(
+        pricing_combine, batch_format="pyarrow", batch_size=None
+    )
+
+
+@register(
+    "order_totals_join",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority,
+           li.n_items, li.revenue_u
+    FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    """,
+)
+def q_order_totals_join(sf_dir: str):
+    """LARGE x LARGE distributed equi-join (orders x lineitem on
+    orderkey): lineitem pre-aggregated per batch by orderkey, both
+    sides co-routed through ONE bounded-bucket discrete-key exchange
+    on bucket_of(orderkey), in-bucket sorted searchsorted probe
+    (stages/relational.py). Only per-order partial sums — never raw
+    lineitem rows — cross the wire; the join key space is unbounded
+    but each bucket is hash-bounded."""
+    import ray.data as rd
+
+    from ..stages import overlaps
+    from ..stages.relational import (
+        order_join_group, order_join_partials, order_rows,
+    )
+
+    nb = overlaps.n_shuffle_buckets()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        order_join_partials, batch_format="pyarrow",
+        fn_kwargs={"n_buckets": nb},
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    ).map_batches(
+        order_rows, batch_format="pyarrow", fn_kwargs={"n_buckets": nb}
+    )
+    return overlaps.bucket_groups(li.union(od), order_join_group)
+
+
+@register(
+    "segment_revenue",
+    """
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+      CAST(sum(CAST(floor(o.o_totalprice * 1e2 + 0.5) AS BIGINT))
+           AS BIGINT) AS revenue_c,
+      CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_segment_revenue(sf_dir: str):
+    """Broadcast-dimension join + bounded rollup: the small customer
+    dimension (custkey -> mktsegment) is resolved once on the driver
+    and captured into the task closure (at cluster scale: ray.put once,
+    read per task — never re-shipped per batch); orders batches probe
+    it vectorized and pre-aggregate per batch; the market-segment key
+    space is bounded so the final combine is one tiny task."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.relational import segment_revenue_batch
+
+    dim = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(zip(
+        dim["c_custkey"].to_pylist(), dim["c_mktsegment"].to_pylist()
+    ))
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    ds = ds.map_batches(
+        segment_revenue_batch, batch_format="pyarrow",
+        fn_kwargs={"seg_of": seg_of},
+    )
+
+    def combine(acc: pa.Table) -> pa.Table:
+        if len(acc) == 0:
+            return acc
+        agg = acc.group_by(["mktsegment"]).aggregate(
+            [("revenue_c", "sum"), ("n_orders", "sum")]
+        )
+        return agg.rename_columns(["mktsegment", "revenue_c", "n_orders"])
+
+    return ds.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _dup_passages_sql() -> str:
     from ..functions import polyhash as ph
 
@@ -6673,6 +6811,7 @@ _SAMPLE_PRIORITY = [
     "stratified_sample", "event_percentiles", "pii_scrub",
     "building_defaults", "repetition_stats", "building_levels", "vocab_stats",
     "read_warc", "dup_passages", "read_warc_gz",
+    "lineitem_pricing", "order_totals_join", "segment_revenue",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",
