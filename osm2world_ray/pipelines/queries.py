@@ -1989,6 +1989,105 @@ def q_segment_revenue(sf_dir: str):
     )
 
 
+@register(
+    "brand_region_revenue",
+    """
+    SELECT r.r_name AS region, p.p_brand AS brand,
+      CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4
+                          + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u,
+      CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_brand_region_revenue(sf_dir: str):
+    """Snowflake-dimension star join: lineitem x part (brand) x the
+    supplier->nation->region chain. All four dimensions are SMALL, so
+    the chain is COMPOSED ON THE DRIVER into two flat probe tables
+    (suppkey -> region name, partkey -> brand) captured into the task
+    closure (ray.put shape at cluster scale) — the fact table is never
+    shuffled; per-batch vectorized probes + partial aggregation over
+    the bounded (region, brand) key space, one tiny combine."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.relational import _snap
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(),
+                   nat["n_regionkey"].to_pylist()))
+    r2n = dict(zip(reg["r_regionkey"].to_pylist(),
+                   reg["r_name"].to_pylist()))
+    sup_keys = np.array(sup["s_suppkey"].to_pylist(), dtype=np.int64)
+    sup_region = np.array(
+        [r2n[n2r[nk]] for nk in sup["s_nationkey"].to_pylist()],
+        dtype=object,
+    )
+    order = np.argsort(sup_keys)
+    sup_keys, sup_region = sup_keys[order], sup_region[order]
+    part_keys = np.array(part["p_partkey"].to_pylist(), dtype=np.int64)
+    part_brand = np.array(part["p_brand"].to_pylist(), dtype=object)
+    order = np.argsort(part_keys)
+    part_keys, part_brand = part_keys[order], part_brand[order]
+
+    def probe(keys: np.ndarray, vals: np.ndarray, q: np.ndarray):
+        pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+        hit = keys[pos] == q
+        return hit, pos
+
+    def partial(b: pa.Table) -> pa.Table:
+        lp = b["l_partkey"].to_numpy()
+        ls = b["l_suppkey"].to_numpy()
+        hit_p, pos_p = probe(part_keys, part_brand, lp)
+        hit_s, pos_s = probe(sup_keys, sup_region, ls)
+        keep = hit_p & hit_s
+        ep = b["l_extendedprice"].to_numpy()[keep]
+        disc = b["l_discount"].to_numpy()[keep]
+        t = pa.table(
+            {
+                "region": pa.array(sup_region[pos_s[keep]].astype(object),
+                                   type=pa.string()),
+                "brand": pa.array(part_brand[pos_p[keep]].astype(object),
+                                  type=pa.string()),
+                "revenue_u": pa.array(_snap(ep * (1 - disc), 1e4)),
+                "n_items": pa.array(np.ones(int(keep.sum()),
+                                            dtype=np.int64)),
+            }
+        )
+        agg = t.group_by(["region", "brand"]).aggregate(
+            [("revenue_u", "sum"), ("n_items", "sum")]
+        )
+        return agg.rename_columns(["region", "brand", "revenue_u", "n_items"])
+
+    def combine(acc: pa.Table) -> pa.Table:
+        if len(acc) == 0:
+            return acc
+        agg = acc.group_by(["region", "brand"]).aggregate(
+            [("revenue_u", "sum"), ("n_items", "sum")]
+        )
+        return agg.rename_columns(["region", "brand", "revenue_u", "n_items"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _dup_passages_sql() -> str:
     from ..functions import polyhash as ph
 
@@ -6812,6 +6911,7 @@ _SAMPLE_PRIORITY = [
     "building_defaults", "repetition_stats", "building_levels", "vocab_stats",
     "read_warc", "dup_passages", "read_warc_gz",
     "lineitem_pricing", "order_totals_join", "segment_revenue",
+    "brand_region_revenue",
     "corpus_filter", "text_quality", "lang_id",
     "ngram_decontaminate",
     "overlap_pairs", "overlap_pairs_salted", "segment_intersections",
