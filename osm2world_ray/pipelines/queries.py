@@ -6922,9 +6922,9 @@ _SAMPLE_PRIORITY = [
     "dedup_simhash_pairs", "dedup_jaccard_pairs",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
     "events_tumbling", "events_topk", "events_hopping",
-    "events_sessions", "events_asof", "enforce_ele", "mesh_merge",
+    "events_sessionize", "events_asof", "enforce_ele", "mesh_merge",
     "texture_atlas", "density_raster", "overlap_components",
-    "ann_brute_cosine", "ann_ivf_cosine", "ann_lsh_cosine",
+    "knn_brute_cosine", "ann_ivf_cosine", "ann_lsh_cosine",
     "kmeans_clusters", "tileset_export", "mm_image_decode",
     "mm_image_resize", "traffic_signs", "token_count",
     "fingerprint_md5", "log_compact", "knn_nearest_kind", "knn_top3",
