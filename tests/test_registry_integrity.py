@@ -34,7 +34,11 @@ def test_oracle_sql_mentions_only_registered_tables():
     # FROM/JOIN targets that are bare identifiers must be testdata views
     # or CTE names defined in the same statement
     for name, sql in Q.ORACLES.items():
-        ctes = set(re.findall(r"(\w+)(?:\s*\([^)]*\))?\s+AS\s*\(", sql, re.I))
+        sql = re.sub(r"--[^\n]*", "", sql)  # FROM/JOIN inside comments
+        ctes = set(re.findall(
+            r"(\w+)(?:\s*\([^)]*\))?\s+AS\s+(?:MATERIALIZED\s+)?\(",
+            sql, re.I,
+        ))
         ctes |= set(re.findall(r"\)\s*(\w+)\s*\(", sql))  # VALUES p(...)
         refs = re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_]\w*)", sql, re.I)
         unknown = [r for r in refs
